@@ -1,0 +1,50 @@
+"""Device mesh + sharding helpers.
+
+The reference distributes with one process per GPU and NCCL DDP
+(reference ``run.py:38-41``, ``train.py:187-196``). The TPU-native design is
+SPMD: one 1-D ``data`` mesh over all chips, batches sharded on their leading
+axis, parameters replicated. Gradient all-reduce, the cross-replica
+batch-norm statistics sync that InPlaceABNSync did per layer
+(``segmentation_module.py:18-19``), and metric reductions all become XLA
+collectives inserted by ``jit`` from the sharding annotations — no backend
+code, no rendezvous (``get_free_port.py`` has no analogue here).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def create_mesh(devices: Optional[Sequence[jax.Device]] = None,
+                axis_name: str = DATA_AXIS) -> Mesh:
+    """A 1-D data-parallel mesh over all (or the given) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
+    """Shard the leading (batch) axis across the mesh."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh, axis_name: str = DATA_AXIS) -> Any:
+    """Device-put a host batch pytree with the leading axis sharded over `mesh`."""
+    sharding = batch_sharding(mesh, axis_name)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Device-put a pytree fully replicated over `mesh` (params, opt state)."""
+    sharding = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
