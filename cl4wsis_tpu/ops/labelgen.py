@@ -1,0 +1,116 @@
+"""Device-side center/offset/weight ground-truth generation.
+
+The reference builds Panoptic-DeepLab training targets per sample in Python
+dataloader workers (``dataset/utils.py:299-350`` `label_generation`,
+``dataset/utils.py:215-252`` `center_map_gen`): per instance, a gaussian
+heatmap stamped at the mask centroid into the (class-1) channel, offsets of
+every instance pixel to its centroid, and a weight map marking instance
+pixels.
+
+TPU-native re-design: the same math as vectorized static-shape jnp ops that
+run under jit (batched with vmap), so target generation fuses into the input
+pipeline / train step instead of burning host CPU. Instance masks must carry
+*dense* ids 1..K (0 = background, 255 = ignore); K is the static MAX_INST pad.
+
+The stamped gaussian matches the reference exactly: value
+exp(-((px-x)^2+(py-y)^2)/(2 sigma^2)) inside the box |px-x|,|py-y| <= 3*sigma+1
+around the *integer-floored* centroid, max-composed across instances.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def instance_stats(inst_mask: jnp.ndarray, seg_map: jnp.ndarray, max_inst: int):
+    """Per-instance pixel count, centroid, and semantic class.
+
+    Args:
+      inst_mask: (H, W) int32, dense instance ids 1..max_inst, 0 bg, 255 ignore.
+      seg_map: (H, W) int32 semantic classes (1..C for things; value constant
+        within an instance).
+      max_inst: static maximum instance count.
+
+    Returns:
+      count (K,), cy (K,), cx (K,), cls (K,) — cls is seg class - 1
+      (channel index), arbitrary for empty slots (count == 0).
+    """
+    H, W = inst_mask.shape
+    valid = (inst_mask > 0) & (inst_mask != 255)
+    idx = jnp.where(valid, inst_mask - 1, max_inst).reshape(-1)
+    ones = jnp.ones((H * W,), jnp.float32)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0).reshape(-1)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1).reshape(-1)
+
+    count = jax.ops.segment_sum(ones, idx, num_segments=max_inst + 1)[:max_inst]
+    sy = jax.ops.segment_sum(ys, idx, num_segments=max_inst + 1)[:max_inst]
+    sx = jax.ops.segment_sum(xs, idx, num_segments=max_inst + 1)[:max_inst]
+    denom = jnp.maximum(count, 1.0)
+    cy, cx = sy / denom, sx / denom
+
+    cls = jax.ops.segment_max(
+        jnp.where(valid, seg_map, 0).reshape(-1).astype(jnp.int32), idx,
+        num_segments=max_inst + 1)[:max_inst] - 1
+    return count, cy, cx, jnp.maximum(cls, 0)
+
+
+@partial(jax.jit, static_argnames=("num_classes", "max_inst", "sigma"))
+def label_generation(seg_map: jnp.ndarray, inst_mask: jnp.ndarray,
+                     num_classes: int, sigma: int = 8, max_inst: int = 50
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """GT center/offset/weight maps for one sample (step-0 supervision).
+
+    Args:
+      seg_map: (H, W) int semantic labels (0 bg, 1..C things, 255 ignore).
+      inst_mask: (H, W) int dense instance ids (see module docstring).
+      num_classes: number of thing classes C (center channels).
+
+    Returns:
+      center (H, W, C) float32, offset (H, W, 2) float32 (y, x order),
+      weight (H, W, 1) float32.
+    """
+    H, W = seg_map.shape
+    count, cy, cx, cls = instance_stats(inst_mask.astype(jnp.int32),
+                                        seg_map.astype(jnp.int32), max_inst)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+
+    # centers: scan over instance slots, max-compose each gaussian into its
+    # class channel; (C, H, W) running buffer keeps memory flat.
+    iy = jnp.floor(cy).astype(jnp.int32).astype(jnp.float32)
+    ix = jnp.floor(cx).astype(jnp.int32).astype(jnp.float32)
+    radius = 3 * sigma + 1
+
+    def body(center, k):
+        g = jnp.exp(-((xs - ix[k]) ** 2 + (ys - iy[k]) ** 2) / (2.0 * sigma ** 2))
+        box = (jnp.abs(xs - ix[k]) <= radius) & (jnp.abs(ys - iy[k]) <= radius)
+        g = g * box * (count[k] > 0)
+        ch = cls[k]
+        center = center.at[ch].max(g)
+        return center, None
+
+    center, _ = jax.lax.scan(body, jnp.zeros((num_classes, H, W), jnp.float32),
+                             jnp.arange(max_inst))
+    center = jnp.transpose(center, (1, 2, 0))
+
+    # offsets + weight: gather per-pixel centroid via the instance id
+    valid = (inst_mask > 0) & (inst_mask != 255)
+    pid = jnp.where(valid, inst_mask - 1, 0).astype(jnp.int32)
+    off_y = (cy[pid] - ys) * valid
+    off_x = (cx[pid] - xs) * valid
+    offset = jnp.stack([off_y, off_x], axis=-1)
+    weight = valid[..., None].astype(jnp.float32)
+    return center, offset, weight
+
+
+def batched_label_generation(seg_maps: jnp.ndarray, inst_masks: jnp.ndarray,
+                             num_classes: int, sigma: int = 8,
+                             max_inst: int = 50):
+    """vmap of `label_generation` over the batch axis."""
+    fn = partial(label_generation, num_classes=num_classes, sigma=sigma,
+                 max_inst=max_inst)
+    return jax.vmap(fn)(seg_maps, inst_masks)

@@ -1,0 +1,87 @@
+import jax.numpy as jnp
+import numpy as np
+
+from cl4wsis_tpu.ops.labelgen import batched_label_generation, label_generation
+
+
+def _reference_label_generation(seg_map, mask, num_classes, sigma):
+    """Numpy transcription of the reference algorithm
+    (dataset/utils.py:180-350) used as a golden fixture."""
+    size = 6 * sigma + 3
+    x = np.arange(0, size, 1, float)
+    y = x[:, np.newaxis]
+    x0 = y0 = 3 * sigma + 1
+    g = np.exp(-((x - x0) ** 2 + (y - y0) ** 2) / (2 * sigma ** 2))
+
+    H, W = mask.shape
+    offset = np.zeros((2, H, W), np.float32)
+    weight = np.zeros((1, H, W), np.float32)
+    center = np.zeros((num_classes, H, W), np.float32)
+    yc = np.cumsum(np.ones_like(mask, np.float32), 0) - 1
+    xc = np.cumsum(np.ones_like(mask, np.float32), 1) - 1
+    for iid in np.unique(mask):
+        if iid in (0, 255):
+            continue
+        weight[0, mask == iid] = 1
+        mi = np.where(mask == iid)
+        cy, cx = np.mean(mi[0]), np.mean(mi[1])
+        yy, xx = int(cy), int(cx)
+        cls = int(seg_map[mi][0]) - 1
+        ul = int(np.round(xx - 3 * sigma - 1)), int(np.round(yy - 3 * sigma - 1))
+        br = int(np.round(xx + 3 * sigma + 2)), int(np.round(yy + 3 * sigma + 2))
+        c, d = max(0, -ul[0]), min(br[0], W) - ul[0]
+        a, b = max(0, -ul[1]), min(br[1], H) - ul[1]
+        cc, dd = max(0, ul[0]), min(br[0], W)
+        aa, bb = max(0, ul[1]), min(br[1], H)
+        center[cls, aa:bb, cc:dd] = np.maximum(center[cls, aa:bb, cc:dd], g[a:b, c:d])
+        offset[0][mi] = cy - yc[mi]
+        offset[1][mi] = cx - xc[mi]
+    return center, offset, weight
+
+
+def _fixture(H=48, W=48):
+    seg = np.zeros((H, W), np.int32)
+    inst = np.zeros((H, W), np.int32)
+    # instance 1: class 2 blob near top-left
+    seg[4:14, 6:16] = 2
+    inst[4:14, 6:16] = 1
+    # instance 2: class 1 blob bottom-right (near the boundary, clips kernel)
+    seg[40:48, 42:48] = 1
+    inst[40:48, 42:48] = 2
+    # instance 3: class 2 again, center
+    seg[20:30, 20:34] = 2
+    inst[20:30, 20:34] = 3
+    # some ignore pixels
+    seg[0, :] = 255
+    return seg, inst
+
+
+def test_matches_reference_algorithm():
+    seg, inst = _fixture()
+    c, o, w = label_generation(jnp.asarray(seg), jnp.asarray(inst),
+                               num_classes=3, sigma=3, max_inst=8)
+    rc, ro, rw = _reference_label_generation(seg, inst, 3, 3)
+    np.testing.assert_allclose(np.asarray(c), rc.transpose(1, 2, 0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(o)[..., 0], ro[0], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(o)[..., 1], ro[1], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(w)[..., 0], rw[0], atol=1e-5)
+
+
+def test_empty_mask():
+    seg = np.zeros((16, 16), np.int32)
+    inst = np.zeros((16, 16), np.int32)
+    c, o, w = label_generation(jnp.asarray(seg), jnp.asarray(inst),
+                               num_classes=2, sigma=2, max_inst=4)
+    assert float(jnp.sum(c)) == 0.0
+    assert float(jnp.sum(jnp.abs(o))) == 0.0
+    assert float(jnp.sum(w)) == 0.0
+
+
+def test_batched():
+    seg, inst = _fixture()
+    segs = jnp.stack([jnp.asarray(seg)] * 2)
+    insts = jnp.stack([jnp.asarray(inst)] * 2)
+    c, o, w = batched_label_generation(segs, insts, num_classes=3, sigma=3,
+                                       max_inst=8)
+    assert c.shape == (2, 48, 48, 3)
+    np.testing.assert_allclose(np.asarray(c[0]), np.asarray(c[1]))
