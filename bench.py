@@ -37,7 +37,7 @@ def bench_step0(batch_size: int = 16, size: int = 512, steps: int = 20):
         None, "adam", schedule.make_schedule("poly", 5e-5, 10000))
     state = init_state(model, tx, jax.random.PRNGKey(0),
                        input_shape=(1, size, size, 3))
-    train_step = make_step0_train_step(model, tx, sigma=8, max_inst=50)
+    train_step = make_step0_train_step(model, tx, sigma=6, max_inst=50)
 
     batch_np = next(synthetic_batches(batch_size, size, n_classes=15, seed=0,
                                       n_batches=1))

@@ -30,7 +30,7 @@ OFFSET_LOSS_WEIGHT = 0.01    # train.py:101
 
 
 def make_step0_train_step(model, tx: optax.GradientTransformation,
-                          seg_loss: str = "bce", sigma: int = 8,
+                          seg_loss: str = "bce", sigma: int = 6,
                           max_inst: int = 50) -> Callable:
     """Returns jitted fn: (state, batch, rng) -> (state, metrics).
 
