@@ -1,0 +1,112 @@
+"""Device-side instance grouping: center NMS, offset-cluster peaks, and
+nearest-center pixel assignment.
+
+Re-design of reference ``modules/utils.py:463-632`` (find_instance_center /
+group_pixels / cluster_peaks / get_instance_segmentation — Panoptic-DeepLab
+post-processing plus the BESTIE offset-cluster extension). The reference
+runs these per component inside Python loops with cv2 and batch=1 guards;
+here they are static-shape slot arrays:
+
+* centers are (S,) slots with validity flags and a `root` (the connected
+  component that owns them), so ONE pixel-assignment pass replaces the
+  reference's per-component calls: a pixel may only be assigned to centers
+  of its own component;
+* assignment scans over center-slot chunks keeping a running (min-dist,
+  argmin) — O(HW) memory instead of a K x HW distance matrix.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cl4wsis_tpu.ops.cc import (component_stats, connected_components,
+                                select_components)
+from cl4wsis_tpu.ops.peaks import max_pool_same
+
+
+def find_instance_centers(ctr_hmp: jnp.ndarray, threshold: float = 0.1,
+                          nms_kernel: int = 3, max_ctr: int = 16
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """NMS peak detection on one heatmap (H, W) -> top `max_ctr` slots.
+
+    Matches reference find_instance_center (``modules/utils.py:463-502``):
+    values <= threshold -> -1, non-maxima -> -1, keep > 0.
+    Returns (ys, xs, valid) each (max_ctr,).
+    """
+    H, W = ctr_hmp.shape
+    x = jnp.where(ctr_hmp > threshold, ctr_hmp, -1.0)
+    hmax = max_pool_same(x[None, ..., None], nms_kernel)[0, ..., 0]
+    x = jnp.where(x == hmax, x, -1.0)
+    flat = x.reshape(-1)
+    vals, idx = jax.lax.top_k(flat, max_ctr)
+    return (idx // W).astype(jnp.int32), (idx % W).astype(jnp.int32), vals > 0
+
+
+def cluster_peaks(offsets: jnp.ndarray, fg: jnp.ndarray, thresh: float = 2.5,
+                  beta: int = 5, max_peaks: int = 8, cc_iters: int = 8
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Offset-magnitude cluster centers (``modules/utils.py:608-632``):
+    4-connected components of {|offset| < thresh} ∩ fg whose area lies in
+    (21-beta, 21+beta); returns integer centroids (ys, xs, valid)."""
+    H, W = offsets.shape[:2]
+    mag = jnp.sqrt(jnp.square(offsets[..., 0]) + jnp.square(offsets[..., 1]))
+    weak = (mag < thresh) & (fg > 0)
+    roots = connected_components(weak, connectivity=4, num_iters=cc_iters)
+    area, cy, cx = component_stats(roots)
+    accept = (area > 21 - beta) & (area < 21 + beta)
+    accept = accept.at[H * W].set(False)
+    sel = select_components(accept, max_peaks)
+    valid = accept[sel]
+    return (jnp.floor(cy[sel]).astype(jnp.int32),
+            jnp.floor(cx[sel]).astype(jnp.int32), valid)
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def assign_pixels(ctr_y: jnp.ndarray, ctr_x: jnp.ndarray, ctr_valid: jnp.ndarray,
+                  ctr_root: jnp.ndarray, offsets: jnp.ndarray,
+                  pixel_root: jnp.ndarray, chunk: int = 16) -> jnp.ndarray:
+    """Assign each pixel to the nearest valid center sharing its root.
+
+    ctr_*: (S,) slot arrays; offsets (H,W,2) (y,x); pixel_root (H,W).
+    Returns (H, W) int32 slot index, or S (no center available / background).
+    """
+    S = ctr_y.shape[0]
+    pad = (-S) % chunk
+    if pad:
+        ctr_y = jnp.pad(ctr_y, (0, pad))
+        ctr_x = jnp.pad(ctr_x, (0, pad))
+        ctr_valid = jnp.pad(ctr_valid, (0, pad))
+        ctr_root = jnp.pad(ctr_root, (0, pad))
+    H, W = pixel_root.shape
+    ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    loc_y = (ys + offsets[..., 0]).reshape(-1)
+    loc_x = (xs + offsets[..., 1]).reshape(-1)
+    proot = pixel_root.reshape(-1)
+
+    cy = ctr_y.reshape(-1, chunk).astype(jnp.float32)
+    cx = ctr_x.reshape(-1, chunk).astype(jnp.float32)
+    cv = ctr_valid.reshape(-1, chunk)
+    cr = ctr_root.reshape(-1, chunk)
+    slot_ids = jnp.arange(S + pad, dtype=jnp.int32).reshape(-1, chunk)
+
+    def step(carry, args):
+        best_d, best_i = carry
+        cy_c, cx_c, cv_c, cr_c, id_c = args
+        d = (jnp.square(loc_y[None] - cy_c[:, None]) +
+             jnp.square(loc_x[None] - cx_c[:, None]))
+        ok = cv_c[:, None] & (cr_c[:, None] == proot[None])
+        d = jnp.where(ok, d, jnp.inf)
+        ci = jnp.argmin(d, axis=0)
+        cd = jnp.take_along_axis(d, ci[None], axis=0)[0]
+        upd = cd < best_d
+        return (jnp.where(upd, cd, best_d),
+                jnp.where(upd, id_c[ci], best_i)), None
+
+    init = (jnp.full((H * W,), jnp.inf), jnp.full((H * W,), S, jnp.int32))
+    (best_d, best_i), _ = jax.lax.scan(step, init, (cy, cx, cv, cr, slot_ids))
+    return best_i.reshape(H, W)

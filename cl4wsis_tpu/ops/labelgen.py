@@ -58,6 +58,34 @@ def instance_stats(inst_mask: jnp.ndarray, seg_map: jnp.ndarray, max_inst: int):
     return count, cy, cx, jnp.maximum(cls, 0)
 
 
+def stamp_centers(valid: jnp.ndarray, cy: jnp.ndarray, cx: jnp.ndarray,
+                  cls: jnp.ndarray, num_classes: int, sigma: int,
+                  shape: Tuple[int, int]) -> jnp.ndarray:
+    """Max-compose gaussians at integer-floored (cy, cx) into class channels.
+
+    valid/cy/cx/cls are (K,) slot arrays. Returns (H, W, num_classes).
+    Matches reference ``center_map_gen`` (``dataset/utils.py:215-252``):
+    value exp(-(d^2)/(2 sigma^2)) inside the |dx|,|dy| <= 3*sigma+1 box.
+    """
+    H, W = shape
+    ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    iy = jnp.floor(cy).astype(jnp.int32).astype(jnp.float32)
+    ix = jnp.floor(cx).astype(jnp.int32).astype(jnp.float32)
+    radius = 3 * sigma + 1
+
+    def body(center, k):
+        g = jnp.exp(-((xs - ix[k]) ** 2 + (ys - iy[k]) ** 2) / (2.0 * sigma ** 2))
+        box = (jnp.abs(xs - ix[k]) <= radius) & (jnp.abs(ys - iy[k]) <= radius)
+        g = g * box * valid[k]
+        center = center.at[jnp.clip(cls[k], 0, num_classes - 1)].max(g)
+        return center, None
+
+    center, _ = jax.lax.scan(body, jnp.zeros((num_classes, H, W), jnp.float32),
+                             jnp.arange(valid.shape[0]))
+    return jnp.transpose(center, (1, 2, 0))
+
+
 @partial(jax.jit, static_argnames=("num_classes", "max_inst", "sigma"))
 def label_generation(seg_map: jnp.ndarray, inst_mask: jnp.ndarray,
                      num_classes: int, sigma: int = 8, max_inst: int = 50
@@ -79,23 +107,7 @@ def label_generation(seg_map: jnp.ndarray, inst_mask: jnp.ndarray,
     ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
     xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
 
-    # centers: scan over instance slots, max-compose each gaussian into its
-    # class channel; (C, H, W) running buffer keeps memory flat.
-    iy = jnp.floor(cy).astype(jnp.int32).astype(jnp.float32)
-    ix = jnp.floor(cx).astype(jnp.int32).astype(jnp.float32)
-    radius = 3 * sigma + 1
-
-    def body(center, k):
-        g = jnp.exp(-((xs - ix[k]) ** 2 + (ys - iy[k]) ** 2) / (2.0 * sigma ** 2))
-        box = (jnp.abs(xs - ix[k]) <= radius) & (jnp.abs(ys - iy[k]) <= radius)
-        g = g * box * (count[k] > 0)
-        ch = cls[k]
-        center = center.at[ch].max(g)
-        return center, None
-
-    center, _ = jax.lax.scan(body, jnp.zeros((num_classes, H, W), jnp.float32),
-                             jnp.arange(max_inst))
-    center = jnp.transpose(center, (1, 2, 0))
+    center = stamp_centers(count > 0, cy, cx, cls, num_classes, sigma, (H, W))
 
     # offsets + weight: gather per-pixel centroid via the instance id
     valid = (inst_mask > 0) & (inst_mask != 255)

@@ -1,0 +1,51 @@
+"""Peak extraction: max-pool NMS + per-class top-K, fully on device.
+
+Re-design of reference ``wss/utils.py:3-25`` (peak_extract, which copies to
+host numpy) and ``dataset/utils.py:255-297`` — here the (scores, ys, xs)
+stay on device as static-shape (B, C, K) arrays.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def max_pool_same(x: jnp.ndarray, kernel: int) -> jnp.ndarray:
+    """Max pool stride 1, same padding (NHWC)."""
+    pad = (kernel - 1) // 2
+    return nn.max_pool(x, (kernel, kernel), strides=(1, 1),
+                       padding=[(pad, pad), (pad, pad)])
+
+
+def avg_pool_same(x: jnp.ndarray, kernel: int) -> jnp.ndarray:
+    """Avg pool stride 1, same padding — torch count_include_pad=True
+    semantics (divides by kernel^2 even at borders), matching the reference
+    `smoothing` (``wss/utils.py:28-32``)."""
+    pad = (kernel - 1) // 2
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    return nn.avg_pool(xp, (kernel, kernel), strides=(1, 1), padding="VALID")
+
+
+smoothing = partial(avg_pool_same, kernel=3)
+
+
+@partial(jax.jit, static_argnames=("kernel", "k"))
+def peak_extract(heat: jnp.ndarray, kernel: int = 5, k: int = 25
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """NMS + top-k peaks per class.
+
+    heat: (B, H, W, C). Returns (scores, ys, xs), each (B, C, k).
+    """
+    B, H, W, C = heat.shape
+    hmax = max_pool_same(heat, kernel)
+    keep = (hmax == heat).astype(heat.dtype)
+    peak = (heat * keep).transpose(0, 3, 1, 2).reshape(B, C, H * W)
+    scores, inds = jax.lax.top_k(peak, k)
+    ys = (inds // W).astype(jnp.int32)
+    xs = (inds % W).astype(jnp.int32)
+    return scores.astype(jnp.float32), ys, xs
