@@ -1,0 +1,236 @@
+"""Phase-2 (CL4WSIS instance) jitted train step.
+
+Re-design of the reference phase-2 loop body (``train.py:256-272,418-541``):
+backbone + semantic branch frozen, only the instance decoder/head trains.
+Per step:
+
+1. frozen TTA seg forward on [img, flip(img)], averaged (train.py:259-263);
+2. instance branch on stop-gradient features (grads only here);
+3. CAM from frozen pseudolabeler -> PeakGenerator (eval) -> smoothing ->
+   peaks (train.py:421-436);
+4. pseudo center/offset/weight from the 1-peak-1-component rule on the
+   frozen-seg argmax (device op, replaces the per-image cv2 loop);
+5. self-refinement labels from the model's own center/offset predictions;
+6. blend pseudo/refined by weight maps; old-class supervision from the old
+   model's center/offset outputs (x0.5 each, train.py:506-519).
+
+The whole thing — dual backbone passes, CAM, connected components, peak
+matching, grouping, refinement, losses, optimizer — is ONE XLA program.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from cl4wsis_tpu.ops.peaks import peak_extract, smoothing
+from cl4wsis_tpu.ops.pseudo_labels import pseudo_label_generation
+from cl4wsis_tpu.ops.refine import refine_label_generation
+from cl4wsis_tpu.ops.resize import resize_bilinear
+from cl4wsis_tpu.train import losses
+from cl4wsis_tpu.train.state import TrainState
+from cl4wsis_tpu.train.step0 import CENTER_LOSS_WEIGHT, OFFSET_LOSS_WEIGHT
+
+
+def make_phase2_train_step(model, model_old, pseudolabeler, peakgenerator,
+                           tx: optax.GradientTransformation,
+                           old_classes: int,
+                           *,
+                           sigma: int = 6,
+                           pseudo_thresh: float = 0.7,
+                           refine_thresh: float = 0.3,
+                           nms_kernel: int = 41,
+                           peak_kernel: int = 15,
+                           beta: float = 3.0,
+                           run_refine: bool = True,
+                           max_peaks: int = 25,
+                           cc_iters: int = 8) -> Callable:
+    """Build the phase-2 step.
+
+    params tree: {"model": ...}; pseudolabeler/peakgenerator variables ride
+    in `aux_vars` (frozen, trained in phase 1). `old_vars` is the frozen
+    previous-step model.
+    """
+    tot_classes = model.tot_classes
+    n_things = tot_classes - 1
+    old_things = old_classes - 1
+
+    def loss_fn(params, stats, batch, old_vars, aux_vars, rng):
+        images, l1h = batch["image"], batch["l1h"]
+        bs = images.shape[0]
+        size = images.shape[1:3]
+
+        # ---- old model (frozen): seg + center + offset -------------------
+        out_old, _ = model_old.apply(old_vars, images, train=False,
+                                     interpolate=False)
+        out_old = jax.lax.stop_gradient(out_old)
+
+        # ---- frozen seg TTA forward on [img, flip] -----------------------
+        imgs2 = jnp.concatenate([images, jnp.flip(images, axis=2)], axis=0)
+        (seg_pred, feats) = model.apply(
+            {"params": params["model"], "batch_stats": stats["model"]},
+            imgs2, train=False, interpolate=False,
+            method=model.forward_seg)
+        seg_pred = jax.lax.stop_gradient(seg_pred)
+        feats = jax.lax.stop_gradient(feats)
+        seg_logits = seg_pred["seg"]
+        seg_max = (seg_logits[:bs] + jnp.flip(seg_logits[bs:], axis=2)) / 2.0
+
+        # ---- instance branch on detached features (the only grads) ------
+        feats_b = {k: v[:bs] for k, v in feats["features"].items()}
+        instance = model.apply(
+            {"params": params["model"], "batch_stats": stats["model"]},
+            feats_b, train=True, method=model.forward_instance,
+            mutable=["batch_stats"], rngs={"dropout": rng})
+        instance, model_stats = instance
+        center_out = resize_bilinear(instance["center"], size, align_corners=False)
+        offset_out = resize_bilinear(instance["offset"], size, align_corners=False)
+
+        # ---- CAM -> peaks -------------------------------------------------
+        int_masks = pseudolabeler.apply(aux_vars["pseudolabeler"],
+                                        feats_b["res5"], train=False)
+        _, cam = peakgenerator.apply(aux_vars["peakgenerator"], int_masks,
+                                     label=l1h, train=False)
+        cam = smoothing(cam)
+        cam = resize_bilinear(cam, size, align_corners=False)
+        peak_conf, peak_ys, peak_xs = peak_extract(
+            jax.lax.stop_gradient(cam), kernel=peak_kernel, k=max_peaks)
+
+        # ---- frozen-seg argmax GT -----------------------------------------
+        seg_max_up = jax.lax.stop_gradient(
+            resize_bilinear(seg_max, size, align_corners=False))
+        soft = jax.nn.softmax(seg_max_up.astype(jnp.float32), axis=-1)
+        soft = soft.at[..., old_classes:].multiply(
+            l1h[:, None, None, old_classes - 1:])
+        seg_gt = jnp.argmax(soft, axis=-1).astype(jnp.int32)
+        old_fg = ((seg_gt < old_classes) & (seg_gt != 0))[..., None].astype(jnp.float32)
+        seg_gt = jnp.where(seg_gt < old_classes, 0, seg_gt)
+
+        cls_label = l1h.at[:, :old_things].set(0.0)   # new classes only
+        peak_valid = (peak_conf >= pseudo_thresh) & (cls_label[:, :, None] > 0)
+
+        # ---- pseudo labels (device label factory) -------------------------
+        pc, po, pw, _ = jax.vmap(
+            partial(pseudo_label_generation, num_classes=n_things,
+                    sigma=sigma, cc_iters=cc_iters))(
+            seg_gt, peak_ys, peak_xs, peak_valid, cls_label)
+
+        # ---- self-refinement ----------------------------------------------
+        if run_refine:
+            refined = jax.vmap(
+                partial(refine_label_generation, num_classes=n_things,
+                        sigma=sigma, refine_thresh=refine_thresh,
+                        nms_kernel=nms_kernel, beta=beta, cc_iters=cc_iters))(
+                soft, jax.lax.stop_gradient(center_out),
+                jax.lax.stop_gradient(offset_out), cls_label, seg_gt)
+            pw_sum = jnp.maximum(old_fg, pw)
+            pc_new = pw * pc[..., old_things:] + \
+                (1 - pw) * refined["center"][..., old_things:]
+            pc = pc.at[..., old_things:].set(pc_new)
+            po = pw_sum * po + (1 - pw_sum) * refined["offset"]
+            pw = jnp.maximum(pw, refined["weight"])
+
+        # ---- old/new center+offset losses ---------------------------------
+        out_old_center = resize_bilinear(out_old["center"], size, align_corners=False)
+        out_old_offset = resize_bilinear(out_old["offset"], size, align_corners=False)
+
+        center_loss_1 = 0.5 * losses.weighted_mse(
+            center_out[..., :old_things], out_old_center, old_fg) * CENTER_LOSS_WEIGHT
+        offset_loss_1 = 0.5 * losses.weighted_l1(
+            offset_out, out_old_offset, old_fg) * OFFSET_LOSS_WEIGHT
+        center_loss_2 = 0.5 * losses.weighted_mse(
+            center_out[..., old_things:], pc[..., old_things:], pw) * CENTER_LOSS_WEIGHT
+        offset_loss_2 = 0.5 * losses.weighted_l1(
+            offset_out, po, pw) * OFFSET_LOSS_WEIGHT
+
+        l_center = center_loss_1 + center_loss_2
+        l_offset = offset_loss_1 + offset_loss_2
+        loss = l_center + l_offset
+        metrics = {"loss": loss, "l_center": l_center, "l_offset": l_offset,
+                   "pseudo_weight_px": jnp.sum(pw)}
+        return loss, (model_stats["batch_stats"], metrics)
+
+    @partial(jax.jit, donate_argnums=0)
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+                   old_vars: Any, aux_vars: Any, rng: jax.Array
+                   ) -> Tuple[TrainState, Dict[str, Any]]:
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (new_model_stats, metrics)), grads = grad_fn(
+            state.params, state.batch_stats, batch, old_vars, aux_vars, rng)
+        state = state.apply_gradients(tx, grads)
+        # forward_instance only touches the instance branch; merge its stats
+        # into the full tree (body/seg BN stays frozen, train.py:235-240)
+        merged = _deep_merge(state.batch_stats["model"], new_model_stats)
+        state = state.replace(batch_stats={"model": merged})
+        return state, metrics
+
+    return train_step
+
+
+def _deep_merge(base, update):
+    if isinstance(base, dict):
+        out = dict(base)
+        for k, v in update.items():
+            out[k] = _deep_merge(base[k], v) if k in base else v
+        return out
+    return update
+
+
+def bench_phase2(batch_size: int = 16, size: int = 512, steps: int = 20):
+    """Throughput bench for the BASELINE.md north-star config (VOC 15-5
+    phase-2 shaped). Returns (images/sec, tag)."""
+    import time
+
+    from cl4wsis_tpu.data.synthetic import synthetic_batches
+    from cl4wsis_tpu.models import make_model
+    from cl4wsis_tpu.train import schedule
+    from cl4wsis_tpu.wss import PeakGenerator, PseudoLabeler
+
+    OLD, NEW = 16, 5
+    TOT = OLD + NEW
+    dtype = jnp.bfloat16
+    model = make_model(classes=(OLD, NEW), crop_size=size, branch="ins",
+                       detach_instance=True, dtype=dtype)
+    model_old = make_model(classes=(OLD,), crop_size=size, branch="ins",
+                           dtype=dtype)
+    pl_mod = PseudoLabeler(num_classes=TOT, dtype=dtype)
+    pg_mod = PeakGenerator(num_classes=TOT - 1, old_classes=OLD - 1, dtype=dtype)
+
+    x = jnp.zeros((1, size, size, 3), dtype)
+    mv = jax.jit(lambda: model.init(jax.random.PRNGKey(0), x, train=False))()
+    ov = jax.jit(lambda: model_old.init(jax.random.PRNGKey(0), x, train=False))()
+    fs = size // 16
+    plv = pl_mod.init(jax.random.PRNGKey(1),
+                      jnp.zeros((1, fs, fs, 2048), dtype), train=False)
+    pgv = pg_mod.init(jax.random.PRNGKey(2),
+                      jnp.zeros((1, fs, fs, TOT), dtype), train=True)
+    aux_vars = {"pseudolabeler": plv, "peakgenerator": pgv}
+
+    params = {"model": mv["params"]}
+    stats = {"model": mv["batch_stats"]}
+    tx = schedule.make_optimizer(
+        params, "adam", schedule.make_schedule("poly", 5e-5, 10000),
+        group_scale={"body": 0.0, "seg": 0.0, "instance": 10.0, "pseudo": 0.0},
+        group_fn=lambda p: schedule.default_group_fn(p.split("/", 1)[1]))
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       batch_stats=stats, opt_state=tx.init(params))
+    step = make_phase2_train_step(model, model_old, pl_mod, pg_mod, tx,
+                                  old_classes=OLD)
+
+    b = next(synthetic_batches(batch_size, size, n_classes=TOT - 1, seed=0,
+                               n_batches=1))
+    batch = {"image": jnp.asarray(b["image"], dtype),
+             "l1h": jnp.asarray(b["l1h"][:, 1:])}
+    rng = jax.random.PRNGKey(3)
+    state, m = step(state, batch, ov, aux_vars, rng)
+    jax.block_until_ready(m["loss"])
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, m = step(state, batch, ov, aux_vars, jax.random.fold_in(rng, i))
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+    return batch_size * steps / dt, "phase2"
