@@ -1,0 +1,159 @@
+import jax.numpy as jnp
+import numpy as np
+
+from cl4wsis_tpu.metrics.stream import StreamSegMetrics
+from cl4wsis_tpu.metrics.voc_ap import (InstanceAPAccumulator, ins_map_iou,
+                                        mask_iou)
+from cl4wsis_tpu.ops.instance_postproc import get_ins_map
+
+
+def test_mask_iou():
+    a = np.zeros((1, 4, 4), bool)
+    a[0, :2, :2] = True
+    b = np.zeros((2, 4, 4), bool)
+    b[0, :2, :2] = True          # identical -> 1
+    b[1, :2, :] = True           # half overlap: inter 4, union 8
+    iou = mask_iou(a, b)
+    np.testing.assert_allclose(iou, [[1.0, 0.5]])
+
+
+def test_ins_map_iou_equals_mask_iou():
+    ins = np.full((6, 6), -1, np.int32)
+    ins[:3, :3] = 5
+    ins[3:, 3:] = 9
+    gt = np.zeros((2, 6, 6), bool)
+    gt[0, :3, :3] = True
+    gt[1, 2:, 2:] = True
+    got = ins_map_iou(ins, np.array([5, 9]), gt)
+    pred_masks = np.stack([ins == 5, ins == 9])
+    np.testing.assert_allclose(got, mask_iou(pred_masks, gt))
+
+
+def test_ap_perfect_predictions():
+    acc = InstanceAPAccumulator()
+    gt = np.zeros((2, 8, 8), bool)
+    gt[0, :4, :4] = True
+    gt[1, 4:, 4:] = True
+    iou = np.eye(2)
+    acc.add_image(np.array([0, 1]), gt, np.array([0, 1]),
+                  np.array([0.9, 0.8]), iou)
+    res = acc.results()
+    np.testing.assert_allclose(res["map"], 1.0)
+    np.testing.assert_allclose(res["ap50"], [1.0, 1.0])
+
+
+def test_ap_false_positive_and_miss():
+    acc = InstanceAPAccumulator(iou_thresholds=[0.5])
+    gt = np.zeros((2, 8, 8), bool)
+    gt[0, :4, :4] = True
+    gt[1, 4:, 4:] = True
+    # one correct pred (high score), one FP (low score), one GT missed
+    iou = np.array([[1.0, 0.0], [0.1, 0.2]])
+    acc.add_image(np.array([0, 0]), gt, np.array([0, 0]),
+                  np.array([0.9, 0.3]), iou)
+    res = acc.results()
+    # prec = [1, 0.5], rec = [0.5, 0.5] -> AP = 0.5 (all-points)
+    np.testing.assert_allclose(res["ap50"][0], 0.5)
+
+
+def test_duplicate_detection_counts_once():
+    acc = InstanceAPAccumulator(iou_thresholds=[0.5])
+    gt = np.zeros((1, 8, 8), bool)
+    gt[0, :4, :4] = True
+    iou = np.array([[1.0], [0.9]])
+    acc.add_image(np.array([0]), gt, np.array([0, 0]),
+                  np.array([0.9, 0.8]), iou)
+    # second detection of the same GT is a FP
+    assert acc.match[0][0] == [1, 0]
+
+
+def test_stream_metrics():
+    m = StreamSegMetrics(3)
+    gt = np.array([[0, 0, 1, 1, 2, 2]])
+    pr = np.array([[0, 1, 1, 1, 2, 0]])
+    m.update(gt, pr)
+    r = m.get_results()
+    np.testing.assert_allclose(r["Overall Acc"], 4 / 6)
+    # class IoUs: c0: tp1/(2+2-1)=1/3... c0: gt {0,0}, pred {0,0(at c2 pix)}:
+    # tp=1, fp=1, fn=1 -> 1/3; c1: tp2, fp1, fn0 -> 2/3; c2: tp1, fn1 -> 1/2
+    np.testing.assert_allclose(r["Class IoU"][0], 1 / 3)
+    np.testing.assert_allclose(r["Class IoU"][1], 2 / 3)
+    np.testing.assert_allclose(r["Class IoU"][2], 1 / 2)
+    m.reset()
+    assert m.confusion_matrix.sum() == 0
+
+
+def test_get_ins_map_two_instances():
+    """Perfect seg/center/offset inputs -> two instances, high scores."""
+    H = W = 64
+    C = 2
+    seg_prob = np.zeros((H, W, C + 1), np.float32)
+    seg_prob[..., 0] = 1.0
+    center = np.zeros((H, W, C), np.float32)
+    offset = np.zeros((H, W, 2), np.float32)
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    for (cy, cx) in [(16, 16), (16, 48)]:
+        blob = (np.abs(yy - cy) <= 8) & (np.abs(xx - cx) <= 8)
+        seg_prob[..., 1][blob] = 1.0
+        seg_prob[..., 0][blob] = 0.0
+        center[..., 0] = np.maximum(
+            center[..., 0], np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / 18.0))
+        offset[..., 0][blob] = (cy - yy)[blob]
+        offset[..., 1][blob] = (cx - xx)[blob]
+
+    out = get_ins_map(jnp.asarray(seg_prob), jnp.asarray(center),
+                      jnp.asarray(offset), num_classes=C, val_kernel=15)
+    valid = np.asarray(out["valid"])
+    assert valid.sum() == 2
+    labels = np.asarray(out["label"])[valid]
+    assert (labels == 0).all()
+    scores = np.asarray(out["score"])[valid]
+    assert (scores > 0.5).all()
+    ins = np.asarray(out["ins_map"])
+    ids = np.unique(ins[ins >= 0])
+    assert len(ids) == 2
+    # each instance covers exactly its blob (17x17 = 289 px)
+    for i in ids:
+        assert (ins == i).sum() == 289
+
+
+def test_validate_instances_end_to_end_perfect():
+    """validate_instances with an oracle forward -> mAP 1.0 on synthetic."""
+    from cl4wsis_tpu.data.synthetic import synthetic_batches
+    from cl4wsis_tpu.train.eval import validate_instances
+
+    batches = list(synthetic_batches(1, 64, n_classes=2, seed=3, n_batches=4))
+    samples = []
+    for b in batches:
+        seg, inst = b["seg"][0], b["inst"][0]
+        ids = [i for i in np.unique(inst) if i != 0]
+        gt_masks = np.stack([inst == i for i in ids])
+        gt_labels = np.array([int(seg[inst == i][0]) - 1 for i in ids])
+        samples.append({"image": b["image"], "seg": seg, "inst": inst,
+                        "gt_masks": gt_masks, "gt_labels": gt_labels})
+
+    def oracle_forward(image, target_size):
+        s = next(s for s in samples if np.allclose(np.asarray(image[0]), s["image"][0]))
+        H, W = target_size
+        seg, inst = s["seg"], s["inst"]
+        seg_prob = np.eye(3, dtype=np.float32)[seg]
+        center = np.zeros((H, W, 2), np.float32)
+        offset = np.zeros((H, W, 2), np.float32)
+        yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+        for i in np.unique(inst):
+            if i == 0:
+                continue
+            m = inst == i
+            cy, cx = yy[m].mean(), xx[m].mean()
+            c = int(seg[m][0]) - 1
+            center[..., c] = np.maximum(
+                center[..., c], np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / 18.0))
+            offset[..., 0][m] = (cy - yy)[m]
+            offset[..., 1][m] = (cx - xx)[m]
+        return get_ins_map(jnp.asarray(seg_prob), jnp.asarray(center),
+                           jnp.asarray(offset), num_classes=2, val_kernel=15)
+
+    res = validate_instances(oracle_forward, samples)
+    # not 1.0: occluded objects whose visible remnant has no center peak are
+    # unrecoverable by the algorithm (the reference drops them identically)
+    assert res["map50"] > 0.8, res
