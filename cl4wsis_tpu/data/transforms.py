@@ -1,0 +1,118 @@
+"""Paired (image, label) augmentation in numpy/PIL.
+
+Re-design of reference ``dataset/transform.py`` (the subset the main path
+uses, ``dataset/__init__.py:13-27``): RandomResizedCrop(crop, scale=(0.5,2))
++ RandomHorizontalFlip + Normalize for training; Resize(short side) for
+eval. Labels ride as a (H, W, K) uint8 stack (seg + instance ids) and are
+resampled with NEAREST. Output is NHWC float32 numpy (TPU layout).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def _to_pil(img: np.ndarray) -> Image.Image:
+    return Image.fromarray(img)
+
+
+class Compose:
+    def __init__(self, transforms):
+        self.transforms = transforms
+
+    def __call__(self, img, lbl, rng: np.random.RandomState):
+        for t in self.transforms:
+            img, lbl = t(img, lbl, rng)
+        return img, lbl
+
+
+class RandomResizedCrop:
+    """torchvision-style: random area scale + aspect, 10 tries then center
+    fallback (reference ``dataset/transform.py`` RandomResizedCrop)."""
+
+    def __init__(self, size: int, scale: Tuple[float, float] = (0.5, 2.0),
+                 ratio: Tuple[float, float] = (3 / 4, 4 / 3)):
+        self.size = size
+        self.scale = scale
+        self.ratio = ratio
+
+    def __call__(self, img: Image.Image, lbl: Image.Image, rng):
+        w, h = img.size
+        area = h * w
+        for _ in range(10):
+            target_area = rng.uniform(*self.scale) * area
+            log_ratio = np.log(self.ratio)
+            aspect = np.exp(rng.uniform(log_ratio[0], log_ratio[1]))
+            cw = int(round(np.sqrt(target_area * aspect)))
+            ch = int(round(np.sqrt(target_area / aspect)))
+            if 0 < cw <= w and 0 < ch <= h:
+                i = rng.randint(0, h - ch + 1)
+                j = rng.randint(0, w - cw + 1)
+                break
+        else:
+            cw = min(w, h)
+            ch = cw
+            i = (h - ch) // 2
+            j = (w - cw) // 2
+        img = img.crop((j, i, j + cw, i + ch)).resize(
+            (self.size, self.size), Image.BILINEAR)
+        lbl = lbl.crop((j, i, j + cw, i + ch)).resize(
+            (self.size, self.size), Image.NEAREST)
+        return img, lbl
+
+
+class RandomHorizontalFlip:
+    def __init__(self, p: float = 0.5):
+        self.p = p
+
+    def __call__(self, img, lbl, rng):
+        if rng.rand() < self.p:
+            img = img.transpose(Image.FLIP_LEFT_RIGHT)
+            lbl = lbl.transpose(Image.FLIP_LEFT_RIGHT)
+        return img, lbl
+
+
+class Resize:
+    """Resize short side to `size` keeping aspect (torchvision semantics)."""
+
+    def __init__(self, size: int):
+        self.size = size
+
+    def __call__(self, img, lbl, rng):
+        w, h = img.size
+        if w < h:
+            ow, oh = self.size, int(self.size * h / w)
+        else:
+            ow, oh = int(self.size * w / h), self.size
+        return (img.resize((ow, oh), Image.BILINEAR),
+                lbl.resize((ow, oh), Image.NEAREST))
+
+
+class ResizeExact:
+    def __init__(self, size: Tuple[int, int]):
+        self.size = size  # (h, w)
+
+    def __call__(self, img, lbl, rng):
+        h, w = self.size
+        return (img.resize((w, h), Image.BILINEAR),
+                lbl.resize((w, h), Image.NEAREST))
+
+
+def normalize_image(img: Image.Image) -> np.ndarray:
+    arr = np.asarray(img, np.float32) / 255.0
+    return (arr - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def train_transform(crop_size: int) -> Compose:
+    return Compose([RandomResizedCrop(crop_size, (0.5, 2.0)),
+                    RandomHorizontalFlip()])
+
+
+def val_transform(crop_size_val: Optional[int]) -> Compose:
+    return Compose([Resize(crop_size_val)] if crop_size_val else [])

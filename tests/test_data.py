@@ -1,0 +1,155 @@
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from cl4wsis_tpu.data.maskrle import (ann_to_mask, polygons_to_mask, rle_decode,
+                                      rle_encode, rle_from_string)
+from cl4wsis_tpu.data.voc import (IncrementalInstanceDataset,
+                                  VOCInstanceSegmentation, make_voc_datasets)
+from cl4wsis_tpu.data.loader import Loader
+from cl4wsis_tpu.cl import tasks
+
+
+def _rle_to_string(counts):
+    """Inverse of rle_from_string (pycocotools rleToString semantics),
+    used to build test fixtures."""
+    s = []
+    for i, x in enumerate(counts):
+        if i > 2:
+            x -= counts[i - 2]
+        more = True
+        while more:
+            c = x & 0x1F
+            x >>= 5
+            more = (x != -1) if (c & 0x10) else (x != 0)
+            if more:
+                c |= 0x20
+            s.append(chr(c + 48))
+    return "".join(s)
+
+
+def test_rle_string_roundtrip():
+    counts = [3, 5, 0, 2, 10, 7, 1]
+    s = _rle_to_string(counts)
+    assert rle_from_string(s) == counts
+
+
+def test_rle_decode_column_major():
+    # 2x3, column-major runs: 1 zero, 2 ones, 3 zeros
+    m = rle_decode([1, 2, 3], 2, 3)
+    expect = np.array([[0, 0, 0], [1, 0, 0]])
+    expect[0, 1] = 1  # col-major: (0,0)=0,(1,0)=1,(0,1)=1,(1,1)=0...
+    np.testing.assert_array_equal(m, np.array([[0, 1, 0], [1, 0, 0]]))
+
+
+def test_rle_encode_decode_roundtrip():
+    rs = np.random.RandomState(0)
+    m = (rs.rand(13, 7) > 0.5).astype(np.uint8)
+    rle = rle_encode(m)
+    np.testing.assert_array_equal(rle_decode(rle["counts"], 13, 7), m)
+
+
+def test_polygon_fill():
+    m = polygons_to_mask([[2, 2, 10, 2, 10, 10, 2, 10]], 16, 16)
+    assert m[5, 5] == 1 and m[0, 0] == 0
+    assert 64 <= m.sum() <= 100  # ~9x9 square
+
+
+def _write_fake_voc(root, n_images=6, size=48):
+    """Tiny VOC/SBD fixture: images + COCO-style polygon annotations for
+    classes 1 (old) and 16 (new in 15-5)."""
+    img_dir = os.path.join(root, "voc", "JPEGImages")
+    os.makedirs(img_dir, exist_ok=True)
+    rs = np.random.RandomState(0)
+    images, annotations = [], []
+    ann_id = 1
+    for i in range(n_images):
+        name = f"img_{i:03d}.jpg"
+        arr = (rs.rand(size, size, 3) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(os.path.join(img_dir, name))
+        images.append({"id": i + 1, "file_name": name,
+                       "height": size, "width": size})
+        # one class-16 object everywhere; class-1 object on even images
+        cats = [16] + ([1] if i % 2 == 0 else [])
+        x0 = 4 + 3 * i
+        for c in cats:
+            poly = [x0, 4, x0 + 16, 4, x0 + 16, 20 + c % 7, x0, 20 + c % 7]
+            annotations.append({
+                "id": ann_id, "image_id": i + 1, "category_id": c,
+                "segmentation": [poly], "iscrowd": 0,
+                "bbox": [x0, 4, 16, 16 + c % 7], "area": 16 * (16 + c % 7)})
+            ann_id += 1
+    body = {"images": images, "annotations": annotations,
+            "categories": [{"id": c, "name": str(c)} for c in range(1, 21)]}
+    for split in ("train", "val"):
+        with open(os.path.join(root, "voc", f"pascal_sbd_{split}.json"), "w") as f:
+            json.dump(body, f)
+
+
+def test_voc_pipeline_15_5_step1(tmp_path):
+    root = str(tmp_path)
+    _write_fake_voc(root)
+    step_dict = tasks.get_task_dict("voc", "15-5", 1)
+    train, val = make_voc_datasets(root, step_dict, step=1, crop_size=32,
+                                   crop_size_val=32, overlap=True)
+    assert len(train) == 6  # all images contain class 16 (a new class)
+
+    s = train[0]
+    assert s["image"].shape == (32, 32, 3)
+    assert s["seg"].shape == (32, 32) and s["seg"].dtype == np.int32
+    # masking: only the current task's classes survive; class 16 keeps its
+    # VOC id under 15-5 ordering (order == identity)
+    assert set(np.unique(s["seg"])) <= {0, 16}
+    # l1h: old classes masked to 0, new class 16 -> index 15 set on some
+    assert s["l1h"].shape == (20,)
+    assert s["l1h"][:15].sum() == 0
+    assert s["l1h"][15] == 1
+    # instances dense 1..K
+    ids = np.unique(s["inst"])
+    assert ids[0] == 0 and (np.diff(ids) == 1).all()
+
+    v = val[0]
+    assert v["gt_masks"].ndim == 3
+    assert v["image"].shape[0] == 1
+    assert (v["gt_labels"] >= 0).all()
+
+
+def test_voc_disjoint_filtering(tmp_path):
+    root = str(tmp_path)
+    _write_fake_voc(root)
+    step_dict = tasks.get_task_dict("voc", "15-5", 1)
+    new = [16, 17, 18, 19, 20]
+    old = list(range(1, 16))
+    ds_overlap = VOCInstanceSegmentation(
+        root, os.path.join(root, "voc", "pascal_sbd_train.json"),
+        old, new, is_train=True, overlap=True)
+    ds_disjoint = VOCInstanceSegmentation(
+        root, os.path.join(root, "voc", "pascal_sbd_train.json"),
+        old, new, is_train=True, overlap=False)
+    # fixture has no future classes, so disjoint == overlap here
+    assert len(ds_overlap) == len(ds_disjoint) == 6
+
+
+def test_loader_sharding(tmp_path):
+    root = str(tmp_path)
+    _write_fake_voc(root)
+    step_dict = tasks.get_task_dict("voc", "15-5", 1)
+    train, _ = make_voc_datasets(root, step_dict, step=1, crop_size=32)
+    l0 = Loader(train, batch_size=2, process_index=0, process_count=2, seed=1)
+    l1 = Loader(train, batch_size=2, process_index=1, process_count=2, seed=1)
+    b0 = list(l0.epoch(0))
+    b1 = list(l1.epoch(0))
+    assert len(b0) == len(b1) == 1
+    assert b0[0]["image"].shape == (2, 32, 32, 3)
+    # different shards see different data
+    assert not np.allclose(b0[0]["image"], b1[0]["image"])
+
+
+def test_ann_to_mask_rle_dict():
+    rle = rle_encode(np.eye(4, dtype=np.uint8))
+    ann = {"segmentation": rle, "image_id": 1}
+    m = ann_to_mask(ann, 4, 4)
+    np.testing.assert_array_equal(m, np.eye(4, dtype=np.uint8))
