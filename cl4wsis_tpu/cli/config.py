@@ -1,0 +1,173 @@
+"""Configuration: dataclass + CLI with reference flag parity.
+
+Re-design of reference ``argparser.py``: the same user-facing flags, with
+``modify_command_options``'s imperative derivations (``argparser.py:4-34``)
+made explicit in `finalize()` — coco-voc -> WideResNet38/OS8/crop448,
+phase 1 -> branch none + flac + randrop, phase 2 -> freeze + freeze_seg,
+pooling = crop // output_stride, lr_head = 1 at step 0.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+
+@dataclass
+class Config:
+    # data
+    data_root: str = "data"
+    dataset: str = "voc"            # voc | coco | coco-voc
+    task: str = "15-5"
+    step: int = 0
+    overlap: bool = True
+    batch_size: int = 16
+    crop_size: int = 512
+    crop_size_val: int = 512
+    synthetic: bool = False         # tiny synthetic data instead of real
+    tiny: bool = False              # 1-block-per-stage backbone (debug/CI)
+
+    # model
+    backbone: str = "resnet101"
+    output_stride: int = 16
+    norm_act: str = "iabn_sync"
+    pretrained: bool = True
+    pretrained_path: str = "pretrained"
+
+    # train
+    epochs: int = 30
+    lr: float = 0.007
+    lr_head: float = 10.0
+    lr_pseudo: float = 0.01
+    lr_policy: str = "poly"
+    lr_power: float = 0.9
+    lr_decay_step: int = 5000
+    lr_decay_factor: float = 0.1
+    momentum: float = 0.9
+    weight_decay: float = 1e-4
+    optim: str = "sgd"              # sgd | adam
+    bce: bool = False
+    dce: bool = False
+    seed: int = 42
+    dtype: str = "bfloat16"
+
+    # CL / weakly
+    weakly: bool = False
+    phase: Optional[int] = None     # None | 1 | 2
+    pseudo: Optional[str] = None
+    alpha: float = 0.5
+    loss_de: float = 0.0
+    loss_kd: float = 0.0
+    unkd: bool = False
+    kd_alpha: float = 1.0
+    icarl: bool = False
+    icarl_bkg: float = -1.0
+    pseudo_ep: int = 5
+    pos_w: float = 1.0
+    affinity: bool = False
+    affinity_method: str = "pamr"
+    cam: str = "ngwp"
+    l_seg: float = 1.0
+    ss_dist: bool = False
+    no_mask: bool = False
+    flac: bool = False
+    randrop: bool = False
+    init_balanced: bool = False
+
+    # label generation
+    pseudo_thresh: float = 0.7
+    refine_thresh: float = 0.3
+    sigma: int = 6
+    kernel: int = 41
+    beta: float = 3.0
+    run_refine: bool = True
+    pam_alpha: float = 0.7
+
+    # validation
+    val_interval: int = 1
+    val_thresh: float = 0.1
+    val_kernel: int = 41
+    val_flip: bool = False
+    val_clean: bool = False
+    val_ignore: bool = False
+    val_on_trainset: bool = False
+
+    # ckpt / logging
+    name: str = "experiment"
+    checkpoint: str = "checkpoints"
+    ckpt: Optional[str] = None
+    step_ckpt: Optional[str] = None
+    continue_ckpt: bool = False
+    ckpt_interval: int = 1
+    test: bool = False
+    seg_ckpt: Optional[str] = None
+    debug: bool = False
+
+    # derived in finalize()
+    branch: str = "ins"
+    freeze: bool = False
+    freeze_seg: bool = False
+    pooling: int = 32
+    num_classes: int = 21
+    no_overlap: bool = False
+    detach_instance: bool = False
+    max_iters: int = 0
+    start_decay: int = 0
+
+    def finalize(self, iters_per_epoch: int = 0) -> "Config":
+        """modify_command_options derivations (argparser.py:4-34)."""
+        cfg = dataclasses.replace(self)
+        if cfg.dataset == "voc":
+            cfg.num_classes = 21
+        elif cfg.dataset == "coco":
+            cfg.num_classes = 80
+        if cfg.dataset == "coco-voc":
+            cfg.backbone = "wider_resnet38_a2"
+            cfg.output_stride = 8
+            cfg.crop_size = 448
+            cfg.crop_size_val = 512
+        cfg.branch = "ins"
+        if cfg.phase == 1:
+            cfg.branch = "none"
+            cfg.flac = True
+            cfg.randrop = True
+        if cfg.phase == 2:
+            cfg.freeze = True
+            cfg.freeze_seg = True
+        cfg.no_overlap = not cfg.overlap
+        cfg.pooling = cfg.crop_size // cfg.output_stride
+        if cfg.step == 0:
+            cfg.lr_head = 1.0
+        cfg.detach_instance = (cfg.step > 0 and cfg.weakly and
+                               cfg.pseudo is None) or cfg.detach_instance
+        if iters_per_epoch:
+            cfg.max_iters = cfg.epochs * iters_per_epoch
+            cfg.start_decay = cfg.pseudo_ep * iters_per_epoch
+        return cfg
+
+
+def get_argparser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser("cl4wsis_tpu")
+    for f in dataclasses.fields(Config):
+        name = "--" + f.name
+        if f.type == "bool" or isinstance(f.default, bool):
+            parser.add_argument(name, type=lambda v: v.lower() in
+                                ("1", "true", "t", "yes", "y"),
+                                default=f.default)
+        elif f.default is None:
+            parser.add_argument(name, default=None)
+        else:
+            parser.add_argument(name, type=type(f.default), default=f.default)
+    return parser
+
+
+def parse_config(argv: Optional[List[str]] = None) -> Config:
+    args = get_argparser().parse_args(argv)
+    kw = vars(args)
+    if kw.get("phase") is not None:
+        kw["phase"] = int(kw["phase"])
+    if kw.get("step") is not None:
+        kw["step"] = int(kw["step"])
+    return Config(**kw)

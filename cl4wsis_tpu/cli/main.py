@@ -1,0 +1,125 @@
+"""CLI entry point: the reference's ``run.py`` as a single SPMD program.
+
+python -m cl4wsis_tpu.cli.main --dataset voc --task 15-5 --step 0 ...
+
+No torch.distributed.launch / rendezvous: one process per host,
+``jax.distributed.initialize()`` when multi-host, data sharded over the
+mesh inside the jitted steps.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import Optional
+
+import numpy as np
+
+from cl4wsis_tpu.cl import tasks
+from cl4wsis_tpu.cli.config import Config, parse_config
+
+
+def build_data(cfg: Config):
+    if cfg.synthetic:
+        from cl4wsis_tpu.data.synthetic import synthetic_batches
+
+        n_things = tasks.get_per_task_classes(cfg.dataset, cfg.task, cfg.step)
+        tot = sum(n_things)
+
+        class SyntheticLoader:
+            def __init__(self, n_batches=4):
+                self.n = n_batches
+
+            def __len__(self):
+                return self.n
+
+            def epoch(self, epoch):
+                for b in synthetic_batches(cfg.batch_size, cfg.crop_size,
+                                           n_classes=tot - 1,
+                                           seed=cfg.seed + epoch,
+                                           n_batches=self.n):
+                    b["l1h"] = b.pop("l1h")[:, 1:]
+                    yield b
+
+        return SyntheticLoader(), None
+
+    from cl4wsis_tpu.data.loader import Loader
+    step_dict = tasks.get_task_dict(cfg.dataset, cfg.task, cfg.step)
+    if cfg.dataset == "voc":
+        from cl4wsis_tpu.data.voc import make_voc_datasets
+        train, val = make_voc_datasets(cfg.data_root, step_dict, cfg.step,
+                                       cfg.crop_size, cfg.crop_size_val,
+                                       overlap=cfg.overlap,
+                                       masking=not cfg.no_mask)
+    elif cfg.dataset in ("coco", "coco-voc"):
+        from cl4wsis_tpu.data.coco import make_coco_datasets
+        train, val = make_coco_datasets(cfg.data_root, step_dict, cfg.step,
+                                        cfg.crop_size, cfg.crop_size_val)
+    else:
+        raise NotImplementedError(cfg.dataset)
+    import jax
+    loader = Loader(train, cfg.batch_size, seed=cfg.seed,
+                    process_index=jax.process_index(),
+                    process_count=jax.process_count())
+    return loader, val
+
+
+def main(argv: Optional[list] = None) -> int:
+    cfg = parse_config(argv)
+    import jax
+
+    if int(os.environ.get("CL4WSIS_MULTIHOST", "0")):
+        jax.distributed.initialize()
+
+    loader, val = build_data(cfg)
+    iters = max(len(loader), 1)
+
+    from cl4wsis_tpu.train.trainer import Trainer
+    trainer = Trainer(cfg, iters_per_epoch=iters)
+    cfg = trainer.cfg  # finalized
+
+    # checkpoint plumbing (run.py:90-106)
+    start_epoch = 0
+    if cfg.step > 0:
+        prev = cfg.step_ckpt or trainer.default_ckpt_path(cfg.step - 1)
+        if os.path.exists(prev):
+            trainer.load_step_ckpt(prev)
+            print(f"[ckpt] loaded step checkpoint {prev}")
+    if cfg.seg_ckpt and os.path.exists(cfg.seg_ckpt):
+        trainer.load_seg_ckpt(cfg.seg_ckpt)
+        print(f"[ckpt] loaded seg checkpoint {cfg.seg_ckpt}")
+    resume = cfg.ckpt or (trainer.default_ckpt_path()
+                          if cfg.continue_ckpt else None)
+    if resume and os.path.exists(resume):
+        start_epoch = trainer.load_resume(resume)
+        print(f"[ckpt] resumed from {resume} at epoch {start_epoch}")
+
+    ckpt_out = trainer.default_ckpt_path()
+    os.makedirs(os.path.dirname(ckpt_out), exist_ok=True)
+
+    for epoch in range(start_epoch, cfg.epochs):
+        metrics = trainer.train_epoch(epoch, loader.epoch(epoch))
+        loss = metrics.get("loss", float("nan"))
+        assert np.isfinite(loss), f"loss diverged: {metrics}"
+        print(f"[epoch {epoch}] loss={loss:.4f} "
+              f"({metrics['n_batches']} it, {metrics['epoch_time_s']:.1f}s)")
+        if (epoch + 1) % cfg.ckpt_interval == 0 or epoch == cfg.epochs - 1:
+            trainer.save(ckpt_out, epoch)
+
+    # final validation (run.py:168-182)
+    if val is not None and cfg.phase != 1:
+        from cl4wsis_tpu.data.loader import eval_samples
+        from cl4wsis_tpu.train.eval import make_eval_forward, validate_instances
+        fwd = make_eval_forward(trainer.model, trainer.model_variables(),
+                                trainer.tot_classes - 1,
+                                val_flip=cfg.val_flip,
+                                val_thresh=cfg.val_thresh,
+                                val_kernel=cfg.val_kernel, beta=cfg.beta)
+        res = validate_instances(fwd, eval_samples(val))
+        print(f"[test] mAP@[.5:.95]={res['map']:.4f} mAP@.5={res['map50']:.4f}")
+    print("[done]")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

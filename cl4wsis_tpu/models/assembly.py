@@ -132,10 +132,11 @@ def _upsample(pred: Dict[str, jnp.ndarray], size) -> Dict[str, jnp.ndarray]:
 def make_model(classes: Sequence[int], backbone: str = "resnet101",
                output_stride: int = 16, crop_size: int = 512,
                branch: str = "ins", detach_instance: bool = False,
-               dtype: Any = None) -> CL4WSISModel:
+               dtype: Any = None,
+               backbone_structure: Optional[Sequence[int]] = None) -> CL4WSISModel:
     """Factory mirroring reference ``make_model`` (segmentation_module.py:61)."""
     return CL4WSISModel(
         classes=tuple(classes), backbone=backbone, output_stride=output_stride,
         pooling_size=crop_size // output_stride,
         has_instance=(branch == "ins"), detach_instance=detach_instance,
-        dtype=dtype)
+        dtype=dtype, backbone_structure=backbone_structure)

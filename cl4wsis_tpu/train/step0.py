@@ -40,8 +40,11 @@ def make_step0_train_step(model, tx: optax.GradientTransformation,
     n_things = model.tot_classes - 1
 
     def loss_fn(params, batch_stats, batch, rng):
+        # accept both raw model trees and the trainer's {"model": ...} wrap
+        p = params.get("model", params)
+        s = batch_stats.get("model", batch_stats)
         (pred, _), new_vars = model.apply(
-            {"params": params, "batch_stats": batch_stats},
+            {"params": p, "batch_stats": s},
             batch["image"], train=True, interpolate=False,
             mutable=["batch_stats"], rngs={"dropout": rng})
         size = batch["image"].shape[1:3]
@@ -65,7 +68,10 @@ def make_step0_train_step(model, tx: optax.GradientTransformation,
         loss = l_seg + l_center + l_offset
         metrics = {"loss": loss, "l_seg": l_seg, "l_center": l_center,
                    "l_offset": l_offset}
-        return loss, (new_vars["batch_stats"], metrics)
+        new_stats = new_vars["batch_stats"]
+        if "model" in batch_stats:
+            new_stats = {"model": new_stats}
+        return loss, (new_stats, metrics)
 
     @partial(jax.jit, donate_argnums=0)
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],

@@ -1,0 +1,295 @@
+"""Trainer: per-phase setup, epoch loop, validation dispatch, checkpoints.
+
+Re-design of reference ``run.py:37-192`` + ``train.py:39-196``: builds the
+models/aux modules per phase, the grouped optimizer (``train.py:144-185``),
+the per-phase jitted step, and drives epochs with per-epoch checkpointing
+(``run.py:122-130``) and phase-dependent validation (``run.py:132-153``).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cl4wsis_tpu.cl import tasks
+from cl4wsis_tpu.cl.ckpt import (ckpt_path, expand_for_new_step, load_checkpoint,
+                                 load_torch_pretrained, save_checkpoint,
+                                 tree_merge)
+from cl4wsis_tpu.core import create_mesh, replicate, shard_batch
+from cl4wsis_tpu.models import make_model
+from cl4wsis_tpu.train import schedule
+from cl4wsis_tpu.train.phase1 import make_phase1_train_step, phase1_group_fn
+from cl4wsis_tpu.train.phase2 import make_phase2_train_step
+from cl4wsis_tpu.train.state import TrainState
+from cl4wsis_tpu.train.step0 import make_step0_train_step
+from cl4wsis_tpu.wss import PeakGenerator, PseudoLabeler
+
+
+class Trainer:
+    def __init__(self, cfg, iters_per_epoch: int):
+        self.cfg = cfg = cfg.finalize(iters_per_epoch)
+        self.mesh = create_mesh()
+        self.dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[cfg.dtype]
+
+        self.classes = tasks.get_per_task_classes(cfg.dataset, cfg.task, cfg.step)
+        self.tot_classes = sum(self.classes)
+        self.old_classes = self.tot_classes - self.classes[-1]
+        self.weakly = cfg.weakly and cfg.step > 0
+
+        mk = dict(backbone=cfg.backbone, output_stride=cfg.output_stride,
+                  crop_size=cfg.crop_size, branch=cfg.branch, dtype=self.dtype)
+        if getattr(cfg, "tiny", False):
+            mk["backbone_structure"] = (1, 1, 1, 1)
+        self.model = make_model(self.classes, detach_instance=cfg.detach_instance,
+                                **mk)
+        self.model_old = None
+        self.old_vars = None
+        if cfg.step > 0:
+            old_cls = tasks.get_per_task_classes(cfg.dataset, cfg.task,
+                                                 cfg.step - 1)
+            self.model_old = make_model(old_cls, **mk)
+
+        self.pseudolabeler = None
+        self.peakgenerator = None
+        if self.weakly and cfg.pseudo is None:
+            self.pseudolabeler = PseudoLabeler(num_classes=self.tot_classes,
+                                               dtype=self.dtype)
+            self.peakgenerator = PeakGenerator(
+                num_classes=self.tot_classes - 1,
+                old_classes=self.old_classes - 1,
+                alpha=cfg.pam_alpha, dtype=self.dtype)
+
+        self._init_states()
+        self._build_optimizer()
+        self._train_steps: Dict[Any, Any] = {}
+
+    # ------------------------------------------------------------- setup
+
+    def _init_states(self):
+        cfg = self.cfg
+        x = jnp.zeros((1, cfg.crop_size, cfg.crop_size, 3), self.dtype)
+        self.variables = jax.jit(
+            lambda: self.model.init(jax.random.PRNGKey(cfg.seed), x,
+                                    train=False))()
+        if cfg.pretrained and not cfg.synthetic:
+            name = ("wide_resnet38_ipabn_lr_256.pth.tar"
+                    if "wide" in cfg.backbone
+                    else f"{cfg.backbone}_iabn_sync.pth.tar")
+            pre = load_torch_pretrained(
+                os.path.join(cfg.pretrained_path, name), cfg.backbone)
+            if pre is not None:
+                self.variables = {
+                    "params": tree_merge(self.variables["params"],
+                                         {"body": pre["params"]}),
+                    "batch_stats": tree_merge(self.variables["batch_stats"],
+                                              {"body": pre["batch_stats"]})}
+
+        if self.model_old is not None:
+            self.old_vars = jax.jit(
+                lambda: self.model_old.init(jax.random.PRNGKey(cfg.seed), x,
+                                            train=False))()
+
+        self.aux_vars: Dict[str, Any] = {}
+        if self.pseudolabeler is not None:
+            fs = cfg.crop_size // cfg.output_stride
+            ch = 4096 if "wide" in cfg.backbone else 2048
+            feat = jnp.zeros((1, fs, fs, ch), self.dtype)
+            plv = self.pseudolabeler.init(jax.random.PRNGKey(1), feat,
+                                          train=False)
+            cam = jnp.zeros((1, fs, fs, self.tot_classes), self.dtype)
+            pgv = self.peakgenerator.init(jax.random.PRNGKey(2), cam, train=True)
+            self.aux_vars = {"pseudolabeler": plv, "peakgenerator": pgv}
+
+    def _build_optimizer(self):
+        cfg = self.cfg
+        sched = schedule.make_schedule(cfg.lr_policy, cfg.lr, cfg.max_iters or 1,
+                                       start_decay=cfg.start_decay,
+                                       power=cfg.lr_power,
+                                       decay_step=cfg.lr_decay_step,
+                                       decay_factor=cfg.lr_decay_factor)
+        if cfg.phase == 1:
+            params = {"model": self.variables["params"],
+                      "pseudolabeler": self.aux_vars["pseudolabeler"]["params"],
+                      "peakgenerator": self.aux_vars["peakgenerator"]["params"]}
+            stats = {"model": self.variables["batch_stats"],
+                     "pseudolabeler": self.aux_vars["pseudolabeler"]["batch_stats"],
+                     "peakgenerator": {}}
+            scale = {"body": 1.0, "seg": cfg.lr_head,
+                     "pseudo": cfg.lr_pseudo / cfg.lr, "instance": cfg.lr_head}
+            group_fn = phase1_group_fn
+        else:
+            params = {"model": self.variables["params"]}
+            stats = {"model": self.variables["batch_stats"]}
+            body = 0.0 if cfg.freeze else 1.0
+            seg = 0.0 if cfg.freeze_seg else cfg.lr_head
+            scale = {"body": body, "seg": seg, "instance": cfg.lr_head,
+                     "pseudo": 0.0}
+            group_fn = lambda p: schedule.default_group_fn(  # noqa: E731
+                p.split("/", 1)[1] if p.startswith("model/") else p)
+        self.tx = schedule.make_optimizer(
+            params, cfg.optim, sched, weight_decay=cfg.weight_decay,
+            group_scale=scale, group_fn=group_fn, momentum=cfg.momentum)
+        self.state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                                batch_stats=stats,
+                                opt_state=self.tx.init(params))
+        self.state = replicate(self.state, self.mesh)
+        if self.old_vars is not None:
+            self.old_vars = replicate(self.old_vars, self.mesh)
+        if cfg.phase == 1:
+            # the live pseudolabeler/peakgenerator ride inside the train
+            # state; keeping a second (aliased) copy would be deleted by
+            # buffer donation on the first step
+            self.aux_vars = {}
+        elif self.aux_vars:
+            self.aux_vars = replicate(self.aux_vars, self.mesh)
+
+    # ------------------------------------------------------------ steps
+
+    def _get_step(self, epoch: int):
+        cfg = self.cfg
+        if cfg.phase == 1:
+            key = ("p1", epoch >= cfg.pseudo_ep)
+            if key not in self._train_steps:
+                self._train_steps[key] = make_phase1_train_step(
+                    self.model, self.model_old, self.pseudolabeler,
+                    self.peakgenerator, self.tx, self.old_classes,
+                    loss_de=cfg.loss_de, l_seg_weight=cfg.l_seg,
+                    alpha=cfg.alpha, icarl_bkg=cfg.icarl_bkg,
+                    use_affinity=cfg.affinity, use_flac=cfg.flac,
+                    use_randrop=cfg.randrop, use_pseudo=epoch >= cfg.pseudo_ep)
+            return self._train_steps[key]
+        if cfg.phase == 2:
+            if "p2" not in self._train_steps:
+                self._train_steps["p2"] = make_phase2_train_step(
+                    self.model, self.model_old, self.pseudolabeler,
+                    self.peakgenerator, self.tx, self.old_classes,
+                    sigma=cfg.sigma, pseudo_thresh=cfg.pseudo_thresh,
+                    refine_thresh=cfg.refine_thresh, nms_kernel=cfg.kernel,
+                    beta=cfg.beta, run_refine=cfg.run_refine)
+            return self._train_steps["p2"]
+        if "p0" not in self._train_steps:
+            seg_loss = "bce" if (cfg.bce or cfg.icarl) else (
+                "dce" if cfg.dce else "bce")
+            self._train_steps["p0"] = make_step0_train_step(
+                self.model, self.tx, seg_loss=seg_loss, sigma=cfg.sigma)
+        return self._train_steps["p0"]
+
+    # ------------------------------------------------------------ loops
+
+    def train_epoch(self, epoch: int, batches) -> Dict[str, float]:
+        cfg = self.cfg
+        step_fn = self._get_step(epoch)
+        rng = jax.random.PRNGKey(cfg.seed + epoch)
+        agg: Dict[str, float] = {}
+        n = 0
+        t0 = time.time()
+        for i, batch_np in enumerate(batches):
+            rng, sub = jax.random.split(rng)
+            batch = self._device_batch(batch_np)
+            if cfg.phase == 1:
+                self.state, metrics = step_fn(self.state, batch, self.old_vars, sub)
+            elif cfg.phase == 2:
+                self.state, metrics = step_fn(self.state, batch, self.old_vars,
+                                              self.aux_vars, sub)
+            else:
+                self.state, metrics = step_fn(self.state, batch, sub)
+            n += 1
+            if i == 0 or cfg.debug:
+                jax.block_until_ready(metrics["loss"])
+        metrics = {k: float(v) for k, v in metrics.items()}
+        metrics["epoch_time_s"] = time.time() - t0
+        metrics["n_batches"] = n
+        return metrics
+
+    def _device_batch(self, batch_np: Dict[str, np.ndarray]):
+        cfg = self.cfg
+        out = {"image": jnp.asarray(batch_np["image"], self.dtype)}
+        if cfg.phase in (1, 2):
+            out["l1h"] = jnp.asarray(batch_np["l1h"], jnp.float32)
+        else:
+            out["seg"] = jnp.asarray(batch_np["seg"], jnp.int32)
+            out["inst"] = jnp.asarray(batch_np["inst"], jnp.int32)
+        return shard_batch(out, self.mesh)
+
+    # ------------------------------------------------------- checkpoints
+
+    def model_variables(self) -> Dict[str, Any]:
+        return {"params": self.state.params["model"],
+                "batch_stats": self.state.batch_stats["model"]}
+
+    def save(self, path: str, epoch: int):
+        tree = {"state": jax.device_get(self.state),
+                "aux_vars": jax.device_get(self.aux_vars),
+                "epoch": epoch}
+        save_checkpoint(path, tree)
+
+    def load_resume(self, path: str) -> int:
+        blob = load_checkpoint(path)
+        self.state = replicate(
+            jax.tree_util.tree_map(jnp.asarray, blob["state"]), self.mesh)
+        if blob.get("aux_vars"):
+            self.aux_vars = replicate(blob["aux_vars"], self.mesh)
+        return int(blob["epoch"]) + 1
+
+    def load_step_ckpt(self, path: str):
+        """Previous-step checkpoint into new model + frozen old model
+        (``train.py:747-771``)."""
+        blob = load_checkpoint(path)
+        old_model_vars = {
+            "params": blob["state"]["params"]["model"],
+            "batch_stats": blob["state"]["batch_stats"]["model"]}
+        merged = expand_for_new_step(
+            {"params": self.state.params["model"],
+             "batch_stats": self.state.batch_stats["model"]},
+            old_model_vars, self.classes,
+            init_balanced=self.cfg.init_balanced)
+        params = dict(self.state.params)
+        stats = dict(self.state.batch_stats)
+        params["model"] = merged["params"]
+        stats["model"] = merged["batch_stats"]
+        self.state = self.state.replace(params=replicate(params, self.mesh),
+                                        batch_stats=replicate(stats, self.mesh))
+        if self.model_old is not None:
+            # deep-copy: these arrays also live in the (donated) train state;
+            # device_put caching would otherwise alias the buffers and the
+            # first donating step would delete the frozen model
+            copied = jax.tree_util.tree_map(lambda x: np.array(x),
+                                            old_model_vars)
+            ov = {"params": tree_merge(self.old_vars["params"],
+                                       copied["params"]),
+                  "batch_stats": tree_merge(self.old_vars["batch_stats"],
+                                            copied["batch_stats"])}
+            self.old_vars = replicate(ov, self.mesh)
+
+    def load_seg_ckpt(self, path: str):
+        """Phase-1 result into phase-2 model + pseudolabeler/peakgenerator
+        (``train.py:797-812``)."""
+        blob = load_checkpoint(path)
+        params = dict(self.state.params)
+        stats = dict(self.state.batch_stats)
+        params["model"] = tree_merge(params["model"],
+                                     blob["state"]["params"]["model"])
+        stats["model"] = tree_merge(stats["model"],
+                                    blob["state"]["batch_stats"]["model"])
+        self.state = self.state.replace(params=replicate(params, self.mesh),
+                                        batch_stats=replicate(stats, self.mesh))
+        if self.aux_vars and "pseudolabeler" in blob["state"]["params"]:
+            aux = {
+                "pseudolabeler": {
+                    "params": blob["state"]["params"]["pseudolabeler"],
+                    "batch_stats": blob["state"]["batch_stats"]["pseudolabeler"]},
+                "peakgenerator": {
+                    "params": blob["state"]["params"]["peakgenerator"]},
+            }
+            self.aux_vars = replicate(
+                tree_merge(jax.device_get(self.aux_vars), aux), self.mesh)
+
+    def default_ckpt_path(self, step: Optional[int] = None) -> str:
+        cfg = self.cfg
+        return ckpt_path(cfg.checkpoint, cfg.dataset, cfg.task, cfg.overlap,
+                         cfg.name, cfg.step if step is None else step)

@@ -110,3 +110,35 @@ def test_train_mode_updates_stats():
     before = variables["batch_stats"]["body"]["mod1_bn1"]["mean"]
     after = updated["batch_stats"]["body"]["mod1_bn1"]["mean"]
     assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_wide_resnet38_shapes():
+    from cl4wsis_tpu.models.wide_resnet import WiderResNet38A2
+    m = WiderResNet38A2(structure=(1, 1, 1, 1, 1, 1))  # tiny for CPU
+    x = jnp.zeros((1, 64, 64, 3))
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    outs = m.apply(v, x, train=False)
+    assert outs["res1"].shape == (1, 16, 16, 256)    # /4, pre-act of mod4
+    assert outs["res2"].shape == (1, 8, 8, 512)      # /8
+    assert outs["res3"].shape == (1, 8, 8, 1024)
+    assert outs["res4"].shape == (1, 8, 8, 2048)
+    assert outs["res5"].shape == (1, 8, 8, 4096)
+
+
+def test_wide_resnet_model_assembly():
+    from cl4wsis_tpu.models.wide_resnet import WiderResNet38A2
+    m = CL4WSISModel(classes=(3, 2), backbone="wider_resnet38_a2",
+                     output_stride=8, pooling_size=2)
+    # patch a tiny structure through a subclassless trick: init is too heavy
+    # otherwise on 1 CPU core; use the full assembly only for tree structure
+    x = jnp.zeros((1, 64, 64, 3))
+    # structure override not wired for wide backbone; just check it builds lazily
+    import flax.linen as nn
+    tabulated = None
+    try:
+        variables = jax.eval_shape(
+            lambda: m.init(jax.random.PRNGKey(0), x, train=False))
+        tabulated = True
+    except Exception as e:  # pragma: no cover
+        raise AssertionError(f"wide assembly failed: {e}")
+    assert tabulated
