@@ -105,11 +105,20 @@ def polygons_to_mask(polys: Sequence[Sequence[float]], h: int, w: int) -> np.nda
 
 
 def ann_to_mask(ann: Dict, h: int, w: int) -> np.ndarray:
-    """pycocotools coco.annToMask equivalent."""
+    """pycocotools coco.annToMask equivalent (C++ fast path when built)."""
     seg = ann["segmentation"]
     if isinstance(seg, list):
         return polygons_to_mask(seg, h, w)
     counts = seg["counts"]
+    try:
+        from cl4wsis_tpu.data import native
+        if native.available():
+            if isinstance(counts, (str, bytes)):
+                counts = native.rle_from_string(
+                    counts.decode() if isinstance(counts, bytes) else counts)
+            return native.rle_decode(counts, seg["size"][0], seg["size"][1])
+    except Exception:
+        pass
     if isinstance(counts, (str, bytes)):
         counts = rle_from_string(counts)
     return rle_decode(counts, seg["size"][0], seg["size"][1])
