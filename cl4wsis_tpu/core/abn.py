@@ -101,5 +101,12 @@ class ABN(nn.Module):
 
         dtype = self.dtype or x.dtype
         inv = jax.lax.rsqrt(var + self.eps) * scale
+        slope = {"leaky_relu": self.activation_param, "identity": 1.0,
+                 "relu": 0.0}.get(self.activation)
+        if slope is not None:
+            # fused normalize+activate elementwise pass (Pallas on TPU)
+            from cl4wsis_tpu.core.pallas_abn import fused_affine_act
+            shift = bias - mean * inv
+            return fused_affine_act(x, inv, shift, slope).astype(dtype)
         y = (x.astype(jnp.float32) - mean) * inv + bias
         return _activate(y, self.activation, self.activation_param).astype(dtype)
