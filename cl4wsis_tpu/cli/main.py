@@ -51,6 +51,14 @@ def build_data(cfg: Config):
                                        cfg.crop_size, cfg.crop_size_val,
                                        overlap=cfg.overlap,
                                        masking=not cfg.no_mask)
+    elif cfg.dataset == "coco-voc" and cfg.step > 0:
+        # step 1 of coco-voc: VOC images, labels in the COCO id space
+        # (reference VOCasCOCOSegmentationIncremental)
+        from cl4wsis_tpu.data.voc import make_voc_datasets
+        train, val = make_voc_datasets(cfg.data_root, step_dict, cfg.step,
+                                       cfg.crop_size, cfg.crop_size_val,
+                                       overlap=cfg.overlap,
+                                       masking=not cfg.no_mask, as_coco=True)
     elif cfg.dataset in ("coco", "coco-voc"):
         from cl4wsis_tpu.data.coco import make_coco_datasets
         train, val = make_coco_datasets(cfg.data_root, step_dict, cfg.step,
@@ -97,17 +105,51 @@ def main(argv: Optional[list] = None) -> int:
     ckpt_out = trainer.default_ckpt_path()
     os.makedirs(os.path.dirname(ckpt_out), exist_ok=True)
 
+    from cl4wsis_tpu.utils.logging import Logger
+    logger = Logger(os.path.join(cfg.checkpoint, "logs"),
+                    rank=jax.process_index(), step=cfg.step, name=cfg.name)
+    logger.add_config(cfg)
+
     for epoch in range(start_epoch, cfg.epochs):
         metrics = trainer.train_epoch(epoch, loader.epoch(epoch))
         loss = metrics.get("loss", float("nan"))
         assert np.isfinite(loss), f"loss diverged: {metrics}"
-        print(f"[epoch {epoch}] loss={loss:.4f} "
-              f"({metrics['n_batches']} it, {metrics['epoch_time_s']:.1f}s)")
+        logger.info(f"[epoch {epoch}] loss={loss:.4f} "
+                    f"({metrics['n_batches']} it, {metrics['epoch_time_s']:.1f}s)")
+        for k, v in metrics.items():
+            logger.add_scalar(f"Loss/{k}" if k.startswith("l") else k, v, epoch)
+        logger.commit()
         if (epoch + 1) % cfg.ckpt_interval == 0 or epoch == cfg.epochs - 1:
             trainer.save(ckpt_out, epoch)
 
     # final validation (run.py:168-182)
-    if val is not None and cfg.phase != 1:
+    if val is not None and cfg.phase == 1:
+        # phase-1 test: CAM semantic mIoU via the pseudolabeler
+        # (run.py:144-150, train.py:695-745)
+        import jax
+        import jax.numpy as jnp
+        from cl4wsis_tpu.data.loader import eval_samples
+        from cl4wsis_tpu.ops.resize import resize_bilinear
+        from cl4wsis_tpu.train.eval import validate_semseg
+
+        mv = trainer.model_variables()
+        plv = trainer.pseudolabeler_variables()
+
+        @jax.jit
+        def classify(image):
+            feats = trainer.model.apply(mv, image, train=False,
+                                        method=trainer.model.forward_features)
+            cam = trainer.pseudolabeler.apply(plv, feats["res5"], train=False)
+            cam = resize_bilinear(cam, image.shape[1:3], align_corners=False)
+            return jax.nn.softmax(cam.astype(jnp.float32), axis=-1)
+
+        res = validate_semseg(classify, eval_samples(val),
+                              trainer.tot_classes,
+                              old_classes=trainer.old_classes)
+        logger.add_results(res)
+        print(f"[test] Val_CAM MeanIoU={res['Mean IoU']:.4f} "
+              f"MeanAcc={res['Mean Acc']:.4f} MeanPrec={res['Mean Precision']:.4f}")
+    elif val is not None:
         from cl4wsis_tpu.data.loader import eval_samples
         from cl4wsis_tpu.train.eval import make_eval_forward, validate_instances
         fwd = make_eval_forward(trainer.model, trainer.model_variables(),
@@ -116,6 +158,8 @@ def main(argv: Optional[list] = None) -> int:
                                 val_thresh=cfg.val_thresh,
                                 val_kernel=cfg.val_kernel, beta=cfg.beta)
         res = validate_instances(fwd, eval_samples(val))
+        logger.add_results({"map": res["map"], "map50": res["map50"],
+                            "ap": res["ap"].tolist()})
         print(f"[test] mAP@[.5:.95]={res['map']:.4f} mAP@.5={res['map50']:.4f}")
     print("[done]")
     return 0

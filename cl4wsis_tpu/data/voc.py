@@ -65,13 +65,21 @@ class VOCInstanceSegmentation:
 
     def __init__(self, data_dir: str, ann_file: str, old_classes: List[int],
                  new_classes: List[int], is_train: bool = True,
-                 overlap: bool = True, masking: bool = True):
+                 overlap: bool = True, masking: bool = True,
+                 as_coco: bool = False):
         self.coco = CocoJson(ann_file)
         self.root = os.path.join(data_dir, "voc", "JPEGImages")
         self.is_train = is_train
         self.old_classes = old_classes
         self.new_classes = new_classes
         self.masking = masking
+        self.n_l1h = 91 if as_coco else 20
+        if as_coco:
+            # remap annotation category ids into the COCO label space
+            # (coco-voc step 1; reference VOCasCOCOSegmentationIncremental)
+            from cl4wsis_tpu.data.cocovoc import COCO_MAP
+            for ann in self.coco.anns.values():
+                ann["category_id"] = COCO_MAP[ann["category_id"]]
 
         ids = []
         for img_id in sorted(self.coco.get_img_ids()):
@@ -102,8 +110,7 @@ class VOCInstanceSegmentation:
             inst = np.max(np.stack([self.coco.annToMask(a) * (i + 1)
                                     for i, a in enumerate(anno)]), axis=0
                           ).astype(np.uint8)
-            n_cls = len(self.old_classes) + len(self.new_classes)
-            l1h = np.zeros((n_cls,), np.float32)
+            l1h = np.zeros((self.n_l1h,), np.float32)
             cats = np.unique([a["category_id"] for a in anno]).astype(int)
             l1h[cats - 1] = 1
             return img, seg, inst, l1h, path
@@ -197,8 +204,10 @@ def _dense_ids(inst: np.ndarray) -> np.ndarray:
 def make_voc_datasets(data_root: str, step_dict: Dict[int, List[int]],
                       step: int, crop_size: int = 512,
                       crop_size_val: Optional[int] = 512,
-                      overlap: bool = True, masking: bool = True):
-    """Factory mirroring reference ``dataset/__init__.py:9-72`` for VOC."""
+                      overlap: bool = True, masking: bool = True,
+                      as_coco: bool = False):
+    """Factory mirroring reference ``dataset/__init__.py:9-72`` for VOC
+    (and coco-voc step 1 with as_coco=True)."""
     labels, labels_old = (list(step_dict[step]),
                           [lb for s in range(step) for lb in step_dict[s]])
     new_classes = [c for c in labels if c != 0]
@@ -206,11 +215,11 @@ def make_voc_datasets(data_root: str, step_dict: Dict[int, List[int]],
     train_raw = VOCInstanceSegmentation(
         data_root, os.path.join(data_root, "voc", "pascal_sbd_train.json"),
         old_classes, new_classes, is_train=True, overlap=overlap,
-        masking=masking)
+        masking=masking, as_coco=as_coco)
     val_raw = VOCInstanceSegmentation(
         data_root, os.path.join(data_root, "voc", "pascal_sbd_val.json"),
         old_classes, new_classes, is_train=False, overlap=overlap,
-        masking=False)
+        masking=False, as_coco=as_coco)
     train = IncrementalInstanceDataset(
         train_raw, step_dict, step, train=True,
         transform=train_transform(crop_size), masking=masking)

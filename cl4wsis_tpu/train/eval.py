@@ -93,6 +93,8 @@ def validate_semseg(classify: Callable,
         probs = np.asarray(classify(jnp.asarray(s["image"])))
         pred = probs.argmax(-1)
         labels = np.asarray(s["seg"]).copy()
+        if labels.ndim == pred.ndim - 1:
+            labels = labels[None]
         if old_classes is not None:
             labels[labels < old_classes] = 0
         metrics.update(labels, pred)

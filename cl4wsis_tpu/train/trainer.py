@@ -201,6 +201,10 @@ class Trainer:
             n += 1
             if i == 0 or cfg.debug:
                 jax.block_until_ready(metrics["loss"])
+        if n == 0:
+            raise ValueError(
+                "epoch produced no batches — dataset smaller than "
+                "batch_size after task filtering?")
         metrics = {k: float(v) for k, v in metrics.items()}
         metrics["epoch_time_s"] = time.time() - t0
         metrics["n_batches"] = n
@@ -221,6 +225,14 @@ class Trainer:
     def model_variables(self) -> Dict[str, Any]:
         return {"params": self.state.params["model"],
                 "batch_stats": self.state.batch_stats["model"]}
+
+    def pseudolabeler_variables(self) -> Optional[Dict[str, Any]]:
+        if self.cfg.phase == 1:
+            return {"params": self.state.params["pseudolabeler"],
+                    "batch_stats": self.state.batch_stats["pseudolabeler"]}
+        if self.aux_vars:
+            return self.aux_vars["pseudolabeler"]
+        return None
 
     def save(self, path: str, epoch: int):
         tree = {"state": jax.device_get(self.state),

@@ -1,0 +1,40 @@
+"""CLI on the fabricated mini-VOC fixture: real data pipeline + final
+instance mAP validation, and phase-1 CAM mIoU validation."""
+
+import os
+
+import pytest
+
+from cl4wsis_tpu.cli.main import main
+from tests.test_data import _write_fake_voc
+
+
+@pytest.mark.slow
+def test_cli_voc_step0_with_validation(tmp_path):
+    _write_fake_voc(str(tmp_path), n_images=16, size=48)
+    ckpt = str(tmp_path / "ck")
+    rc = main(["--data_root", str(tmp_path), "--dataset", "voc",
+               "--task", "15-5", "--step", "0", "--name", "t",
+               "--tiny", "true", "--epochs", "1", "--batch_size", "8",
+               "--crop_size", "48", "--crop_size_val", "48",
+               "--checkpoint", ckpt, "--dtype", "float32",
+               "--bce", "true", "--optim", "adam", "--lr", "5e-5",
+               "--kernel", "15", "--val_kernel", "15",
+               "--pretrained", "false"])
+    assert rc == 0
+    step0 = os.path.join(ckpt, "step", "voc-15-5-ov", "t_0")
+    assert os.path.exists(step0)
+    # logger output exists
+    assert os.path.exists(os.path.join(ckpt, "logs", "t.jsonl"))
+
+    # phase 1 on the same fixture incl. CAM mIoU validation
+    rc = main(["--data_root", str(tmp_path), "--dataset", "voc",
+               "--task", "15-5", "--step", "1", "--name", "t1",
+               "--tiny", "true", "--epochs", "1", "--batch_size", "8",
+               "--crop_size", "48", "--crop_size_val", "48",
+               "--checkpoint", ckpt, "--dtype", "float32",
+               "--weakly", "true", "--phase", "1", "--optim", "sgd",
+               "--lr", "1e-3", "--pseudo_ep", "0", "--affinity", "true",
+               "--loss_de", "1", "--step_ckpt", step0,
+               "--pretrained", "false"])
+    assert rc == 0
