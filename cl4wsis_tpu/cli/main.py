@@ -110,6 +110,56 @@ def main(argv: Optional[list] = None) -> int:
                     rank=jax.process_index(), step=cfg.step, name=cfg.name)
     logger.add_config(cfg)
 
+    # determinism canary (run.py:118-119): a fixed-key random draw printed
+    # so cross-run / cross-host drift is eyeballable
+    canary = jax.random.randint(jax.random.PRNGKey(cfg.seed), (4,), 0, 1000)
+    logger.info(f"[canary] {np.asarray(canary).tolist()}")
+
+    def run_validation(tag: str):
+        if val is None:
+            return
+        if cfg.phase == 1:
+            # CAM semantic mIoU via the pseudolabeler
+            # (run.py:144-150, train.py:695-745)
+            import jax.numpy as jnp
+            from cl4wsis_tpu.data.loader import eval_samples
+            from cl4wsis_tpu.ops.resize import resize_bilinear
+            from cl4wsis_tpu.train.eval import validate_semseg
+
+            mv = trainer.model_variables()
+            plv = trainer.pseudolabeler_variables()
+
+            @jax.jit
+            def classify(image):
+                feats = trainer.model.apply(
+                    mv, image, train=False,
+                    method=trainer.model.forward_features)
+                cam = trainer.pseudolabeler.apply(plv, feats["res5"], train=False)
+                cam = resize_bilinear(cam, image.shape[1:3], align_corners=False)
+                return jax.nn.softmax(cam.astype(jnp.float32), axis=-1)
+
+            res = validate_semseg(classify, eval_samples(val),
+                                  trainer.tot_classes,
+                                  old_classes=trainer.old_classes)
+            logger.add_results(res)
+            logger.info(f"[{tag}] Val_CAM MeanIoU={res['Mean IoU']:.4f} "
+                        f"MeanAcc={res['Mean Acc']:.4f} "
+                        f"MeanPrec={res['Mean Precision']:.4f}")
+        else:
+            from cl4wsis_tpu.data.loader import eval_samples
+            from cl4wsis_tpu.train.eval import (make_eval_forward,
+                                                validate_instances)
+            fwd = make_eval_forward(trainer.model, trainer.model_variables(),
+                                    trainer.tot_classes - 1,
+                                    val_flip=cfg.val_flip,
+                                    val_thresh=cfg.val_thresh,
+                                    val_kernel=cfg.val_kernel, beta=cfg.beta)
+            res = validate_instances(fwd, eval_samples(val))
+            logger.add_results({"map": res["map"], "map50": res["map50"],
+                                "ap": res["ap"].tolist()})
+            logger.info(f"[{tag}] mAP@[.5:.95]={res['map']:.4f} "
+                        f"mAP@.5={res['map50']:.4f}")
+
     for epoch in range(start_epoch, cfg.epochs):
         metrics = trainer.train_epoch(epoch, loader.epoch(epoch))
         loss = metrics.get("loss", float("nan"))
@@ -121,46 +171,12 @@ def main(argv: Optional[list] = None) -> int:
         logger.commit()
         if (epoch + 1) % cfg.ckpt_interval == 0 or epoch == cfg.epochs - 1:
             trainer.save(ckpt_out, epoch)
+        # in-training validation every val_interval epochs (run.py:132-153)
+        if (epoch + 1) % cfg.val_interval == 0 and epoch != cfg.epochs - 1:
+            run_validation(f"val e{epoch}")
 
-    # final validation (run.py:168-182)
-    if val is not None and cfg.phase == 1:
-        # phase-1 test: CAM semantic mIoU via the pseudolabeler
-        # (run.py:144-150, train.py:695-745)
-        import jax
-        import jax.numpy as jnp
-        from cl4wsis_tpu.data.loader import eval_samples
-        from cl4wsis_tpu.ops.resize import resize_bilinear
-        from cl4wsis_tpu.train.eval import validate_semseg
-
-        mv = trainer.model_variables()
-        plv = trainer.pseudolabeler_variables()
-
-        @jax.jit
-        def classify(image):
-            feats = trainer.model.apply(mv, image, train=False,
-                                        method=trainer.model.forward_features)
-            cam = trainer.pseudolabeler.apply(plv, feats["res5"], train=False)
-            cam = resize_bilinear(cam, image.shape[1:3], align_corners=False)
-            return jax.nn.softmax(cam.astype(jnp.float32), axis=-1)
-
-        res = validate_semseg(classify, eval_samples(val),
-                              trainer.tot_classes,
-                              old_classes=trainer.old_classes)
-        logger.add_results(res)
-        print(f"[test] Val_CAM MeanIoU={res['Mean IoU']:.4f} "
-              f"MeanAcc={res['Mean Acc']:.4f} MeanPrec={res['Mean Precision']:.4f}")
-    elif val is not None:
-        from cl4wsis_tpu.data.loader import eval_samples
-        from cl4wsis_tpu.train.eval import make_eval_forward, validate_instances
-        fwd = make_eval_forward(trainer.model, trainer.model_variables(),
-                                trainer.tot_classes - 1,
-                                val_flip=cfg.val_flip,
-                                val_thresh=cfg.val_thresh,
-                                val_kernel=cfg.val_kernel, beta=cfg.beta)
-        res = validate_instances(fwd, eval_samples(val))
-        logger.add_results({"map": res["map"], "map50": res["map50"],
-                            "ap": res["ap"].tolist()})
-        print(f"[test] mAP@[.5:.95]={res['map']:.4f} mAP@.5={res['map50']:.4f}")
+    run_validation("test")  # final test pass (run.py:168-182)
+    logger.close()
     print("[done]")
     return 0
 

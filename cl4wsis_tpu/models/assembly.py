@@ -52,6 +52,7 @@ class CL4WSISModel(nn.Module):
     has_instance: bool = True
     detach_instance: bool = False
     dtype: Any = None
+    norm_act: str = "iabn_sync"
     # test hook: override the ResNet block counts (e.g. (1,1,1,1) for tiny nets)
     backbone_structure: Optional[Sequence[int]] = None
 
@@ -60,21 +61,24 @@ class CL4WSISModel(nn.Module):
         return sum(self.classes)
 
     def setup(self):
+        from cl4wsis_tpu.core.norms import norm_factory
+        norm = norm_factory(self.norm_act)
         if self.backbone in ("resnet101", "resnet50"):
             structure = self.backbone_structure or (
                 (3, 4, 23, 3) if self.backbone == "resnet101" else (3, 4, 6, 3))
             self.body = ResNet(structure=tuple(structure), output_stride=self.output_stride,
-                               dtype=self.dtype)
+                               norm=norm, dtype=self.dtype)
         elif self.backbone == "wider_resnet38_a2":
             from cl4wsis_tpu.models.wide_resnet import WiderResNet38A2
-            self.body = WiderResNet38A2(output_stride=self.output_stride, dtype=self.dtype)
+            self.body = WiderResNet38A2(output_stride=self.output_stride,
+                                        norm=norm, dtype=self.dtype)
         else:
             raise ValueError(f"unknown backbone {self.backbone!r}")
 
         self.seg_head = DeepLabV3Head(
             in_channels=backbone_channels(self.backbone), out_channels=256,
             hidden_channels=256, out_stride=self.output_stride,
-            pooling_size=self.pooling_size, dtype=self.dtype)
+            pooling_size=self.pooling_size, norm=norm, dtype=self.dtype)
         self.cls = IncrementalClassifier(classes=tuple(self.classes), dtype=self.dtype)
 
         if self.has_instance:
@@ -132,11 +136,11 @@ def _upsample(pred: Dict[str, jnp.ndarray], size) -> Dict[str, jnp.ndarray]:
 def make_model(classes: Sequence[int], backbone: str = "resnet101",
                output_stride: int = 16, crop_size: int = 512,
                branch: str = "ins", detach_instance: bool = False,
-               dtype: Any = None,
+               dtype: Any = None, norm_act: str = "iabn_sync",
                backbone_structure: Optional[Sequence[int]] = None) -> CL4WSISModel:
     """Factory mirroring reference ``make_model`` (segmentation_module.py:61)."""
     return CL4WSISModel(
         classes=tuple(classes), backbone=backbone, output_stride=output_stride,
         pooling_size=crop_size // output_stride,
         has_instance=(branch == "ins"), detach_instance=detach_instance,
-        dtype=dtype, backbone_structure=backbone_structure)
+        dtype=dtype, norm_act=norm_act, backbone_structure=backbone_structure)

@@ -60,13 +60,14 @@ class ResNet(nn.Module):
     """ResNet body returning dict(res1..res5)."""
 
     structure: Sequence[int] = (3, 4, 23, 3)  # resnet101
+    bottleneck: bool = True
     output_stride: int = 16
     norm: Callable[..., nn.Module] = ABN
     dtype: Any = None
 
     @property
     def out_channels(self) -> int:
-        return 2048
+        return 2048 if self.bottleneck else 512
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> Dict[str, jnp.ndarray]:
@@ -83,14 +84,15 @@ class ResNet(nn.Module):
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
         outs = {"res1": y}
-        channels = [64, 64, 256]
+        channels = [64, 64, 256] if self.bottleneck else [64, 64]
+        block_cls = Bottleneck if self.bottleneck else BasicBlock
         for mod_id, num in enumerate(self.structure):
             d = dilation[mod_id]
             for block_id in range(num):
                 stride = 2 if d == 1 and block_id == 0 and mod_id > 0 else 1
-                y = Bottleneck(channels=tuple(channels), stride=stride, dilation=d,
-                               norm=self.norm, dtype=self.dtype,
-                               name=f"mod{mod_id + 2}_block{block_id + 1}")(y, train=train)
+                y = block_cls(channels=tuple(channels), stride=stride, dilation=d,
+                              norm=self.norm, dtype=self.dtype,
+                              name=f"mod{mod_id + 2}_block{block_id + 1}")(y, train=train)
             outs[f"res{mod_id + 2}"] = y
             channels = [c * 2 for c in channels]
         return outs
@@ -102,3 +104,43 @@ def resnet50(**kw) -> ResNet:
 
 def resnet101(**kw) -> ResNet:
     return ResNet(structure=(3, 4, 23, 3), **kw)
+
+
+class BasicBlock(nn.Module):
+    """Two 3x3 convs (ResNet-18/34 style, reference modules/residual.py:50-62)."""
+
+    channels: Sequence[int]  # (c0, c1)
+    stride: int = 1
+    dilation: int = 1
+    norm: Callable[..., nn.Module] = ABN
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        c0, c1 = self.channels
+        conv = lambda f, k, s, d, name: nn.Conv(  # noqa: E731
+            f, (k, k), strides=(s, s), kernel_dilation=(d, d),
+            padding=[(d * (k - 1) // 2,) * 2] * 2, use_bias=False,
+            dtype=self.dtype, name=name)
+        y = conv(c0, 3, self.stride, self.dilation, "conv1")(x)
+        y = self.norm(features=c0, name="bn1")(y, train=train)
+        y = conv(c1, 3, 1, self.dilation, "conv2")(y)
+        y = self.norm(features=c1, activation="identity", name="bn2")(y, train=train)
+        if self.stride != 1 or x.shape[-1] != c1:
+            sc = conv(c1, 1, self.stride, 1, "proj_conv")(x)
+            sc = self.norm(features=c1, activation="identity", name="proj_bn")(sc, train=train)
+        else:
+            sc = x
+        return nn.leaky_relu(y + sc, negative_slope=0.01)
+
+
+def resnet18(**kw) -> ResNet:
+    return ResNet(structure=(2, 2, 2, 2), bottleneck=False, **kw)
+
+
+def resnet34(**kw) -> ResNet:
+    return ResNet(structure=(3, 4, 6, 3), bottleneck=False, **kw)
+
+
+def resnet152(**kw) -> ResNet:
+    return ResNet(structure=(3, 8, 36, 3), **kw)

@@ -113,3 +113,15 @@ class WiderResNet38A2(nn.Module):
         out7 = self.norm(features=self.out_channels, name="bn_out")(y, train=train)
         return {"res1": prevs["mod4"], "res2": prevs["mod5"],
                 "res3": prevs["mod6"], "res4": prevs["mod7"], "res5": out7}
+
+
+def wider_resnet16_a2(**kw) -> WiderResNet38A2:
+    return WiderResNet38A2(structure=(1, 1, 1, 1, 1, 1), **kw)
+
+
+def wider_resnet20_a2(**kw) -> WiderResNet38A2:
+    return WiderResNet38A2(structure=(1, 1, 1, 3, 1, 1), **kw)
+
+
+def wider_resnet38_a2(**kw) -> WiderResNet38A2:
+    return WiderResNet38A2(structure=(3, 3, 6, 3, 1, 1), **kw)

@@ -132,3 +132,36 @@ def test_abn_grad_through_batch_stats():
         xm = x.at[idx].add(-eps)
         num = (f(xp) - f(xm)) / (2 * eps)
         np.testing.assert_allclose(float(g[idx]), float(num), rtol=2e-2, atol=2e-3)
+
+
+def test_ain_matches_torch_instance_norm():
+    torch = pytest.importorskip("torch")
+    from cl4wsis_tpu.core.norms import AIN
+    m = AIN(features=6)
+    x = np.random.RandomState(0).randn(2, 5, 5, 6).astype(np.float32)
+    v = m.init(jax.random.PRNGKey(0), jnp.asarray(x), train=True)
+    y, _ = m.apply(v, jnp.asarray(x), train=True, mutable=["batch_stats"])
+    inorm = torch.nn.InstanceNorm2d(6, eps=1e-5, affine=True)
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    yt = torch.nn.functional.leaky_relu(inorm(xt), 0.01)
+    np.testing.assert_allclose(np.asarray(y), yt.detach().permute(0, 2, 3, 1).numpy(),
+                               atol=1e-4)
+
+
+def test_abr_train_mode_runs():
+    from cl4wsis_tpu.core.norms import ABR
+    m = ABR(features=4)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 3, 4)) * 2 + 1
+    v = m.init(jax.random.PRNGKey(0), x, train=True)
+    y, st = m.apply(v, x, train=True, mutable=["batch_stats"])
+    assert np.isfinite(np.asarray(y)).all()
+    # momentum=1.0 (torch 0.0): running stats frozen
+    np.testing.assert_allclose(np.asarray(st["batch_stats"]["mean"]), 0.0)
+
+
+def test_norm_factory_wiring():
+    from cl4wsis_tpu.core.norms import norm_factory, ABR, AIN
+    from cl4wsis_tpu.core.abn import ABN
+    assert norm_factory("iabn_sync") is ABN
+    assert norm_factory("abr") is ABR
+    assert norm_factory("ain") is AIN

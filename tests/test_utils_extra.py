@@ -1,0 +1,44 @@
+import jax.numpy as jnp
+import numpy as np
+
+from cl4wsis_tpu.models.tta import test_augmentation as tta_fuse
+from cl4wsis_tpu.utils.visualize import (Label2Color, denorm, label_to_one_hot,
+                                         voc_cmap)
+
+
+def test_tta_mean_flip_identity_fn():
+    """For a flip-equivariant fn, TTA fusion equals the plain output."""
+    def fn(x):
+        return jnp.concatenate([x, 1 - x], axis=-1)  # per-pixel, equivariant
+
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 8, 8, 1), jnp.float32)
+    fused, pred = tta_fuse(fn, x, scales=(1.0,), do_flip=True)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(fn(x)), atol=1e-6)
+    assert pred.shape == (1, 8, 8)
+
+
+def test_tta_multiscale_runs():
+    def fn(x):
+        return jnp.tile(jnp.mean(x, axis=-1, keepdims=True), (1, 1, 1, 3))
+
+    x = jnp.asarray(np.random.RandomState(1).rand(1, 16, 16, 3), jnp.float32)
+    fused, _ = tta_fuse(fn, x, scales=(0.75, 1.0, 1.25), do_flip=True)
+    assert fused.shape == (1, 16, 16, 3)
+
+
+def test_voc_cmap_and_label2color():
+    cmap = voc_cmap()
+    assert cmap.shape == (256, 3)
+    assert cmap[0].tolist() == [0, 0, 0]
+    assert cmap[1].tolist() == [128, 0, 0]  # aeroplane classic maroon
+    l2c = Label2Color(cmap)
+    img = l2c(np.array([[0, 1], [2, 3]]))
+    assert img.shape == (2, 2, 3)
+
+
+def test_denorm_onehot():
+    x = np.zeros((2, 2, 3), np.float32)
+    d = denorm(x)
+    np.testing.assert_allclose(d[0, 0], [0.485, 0.456, 0.406], atol=1e-6)
+    oh = label_to_one_hot(np.array([0, 2]), 3)
+    np.testing.assert_array_equal(oh, [[1, 0, 0], [0, 0, 1]])
