@@ -33,6 +33,7 @@ class Config:
     backbone: str = "resnet101"
     output_stride: int = 16
     norm_act: str = "iabn_sync"
+    remat: bool = False              # experimental: long TPU compile times
     pretrained: bool = True
     pretrained_path: str = "pretrained"
 

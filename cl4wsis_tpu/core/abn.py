@@ -103,10 +103,12 @@ class ABN(nn.Module):
         inv = jax.lax.rsqrt(var + self.eps) * scale
         slope = {"leaky_relu": self.activation_param, "identity": 1.0,
                  "relu": 0.0}.get(self.activation)
-        if slope is not None:
-            # fused normalize+activate elementwise pass (Pallas on TPU)
-            from cl4wsis_tpu.core.pallas_abn import fused_affine_act
+        from cl4wsis_tpu.core import pallas_abn
+        if slope is not None and pallas_abn._on_tpu():
+            # fused normalize+activate Pallas kernel (opt-in; see pallas_abn).
+            # When off, the plain jnp path below keeps ordinary autodiff so
+            # XLA fuses the affine into conv epilogues.
             shift = bias - mean * inv
-            return fused_affine_act(x, inv, shift, slope).astype(dtype)
+            return pallas_abn.fused_affine_act(x, inv, shift, slope).astype(dtype)
         y = (x.astype(jnp.float32) - mean) * inv + bias
         return _activate(y, self.activation, self.activation_param).astype(dtype)

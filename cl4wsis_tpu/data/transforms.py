@@ -116,3 +116,113 @@ def train_transform(crop_size: int) -> Compose:
 
 def val_transform(crop_size_val: Optional[int]) -> Compose:
     return Compose([Resize(crop_size_val)] if crop_size_val else [])
+
+
+class RandomVerticalFlip:
+    def __init__(self, p: float = 0.5):
+        self.p = p
+
+    def __call__(self, img, lbl, rng):
+        if rng.rand() < self.p:
+            img = img.transpose(Image.FLIP_TOP_BOTTOM)
+            lbl = lbl.transpose(Image.FLIP_TOP_BOTTOM)
+        return img, lbl
+
+
+class RandomScale:
+    """Scale by a random factor in [lo, hi] (reference transform.py)."""
+
+    def __init__(self, scale_range: Tuple[float, float] = (0.5, 2.0)):
+        self.scale_range = scale_range
+
+    def __call__(self, img, lbl, rng):
+        s = rng.uniform(*self.scale_range)
+        w, h = img.size
+        size = (max(1, int(w * s)), max(1, int(h * s)))
+        return (img.resize(size, Image.BILINEAR),
+                lbl.resize(size, Image.NEAREST))
+
+
+class CenterCrop:
+    def __init__(self, size: int):
+        self.size = size
+
+    def __call__(self, img, lbl, rng):
+        w, h = img.size
+        j = max(0, (w - self.size) // 2)
+        i = max(0, (h - self.size) // 2)
+        box = (j, i, j + min(self.size, w), i + min(self.size, h))
+        return img.crop(box), lbl.crop(box)
+
+
+class PadCenterCrop:
+    """Pad (image with 0, label with `fill`) to at least `size`, then center
+    crop — the reference's PadCrop behavior for small images."""
+
+    def __init__(self, size: int, fill: int = 255):
+        self.size = size
+        self.fill = fill
+
+    def __call__(self, img, lbl, rng):
+        w, h = img.size
+        pw, ph = max(0, self.size - w), max(0, self.size - h)
+        if pw or ph:
+            ia = np.asarray(img)
+            la = np.asarray(lbl)
+            pad_img = ((ph // 2, ph - ph // 2), (pw // 2, pw - pw // 2))
+            ia = np.pad(ia, pad_img + ((0, 0),) if ia.ndim == 3 else pad_img)
+            if la.ndim == 3:
+                la = np.pad(la, pad_img + ((0, 0),), constant_values=self.fill)
+            else:
+                la = np.pad(la, pad_img, constant_values=self.fill)
+            img, lbl = Image.fromarray(ia), Image.fromarray(la)
+        return CenterCrop(self.size)(img, lbl, rng)
+
+
+class RandomCrop:
+    def __init__(self, size: int):
+        self.size = size
+
+    def __call__(self, img, lbl, rng):
+        w, h = img.size
+        if w < self.size or h < self.size:
+            img, lbl = PadCenterCrop(self.size)(img, lbl, rng)
+            w, h = img.size
+        j = rng.randint(0, w - self.size + 1)
+        i = rng.randint(0, h - self.size + 1)
+        box = (j, i, j + self.size, i + self.size)
+        return img.crop(box), lbl.crop(box)
+
+
+class RandomRotation:
+    """Rotate by a random angle; label rotated NEAREST with `fill`."""
+
+    def __init__(self, degrees: float = 10.0, fill: int = 255):
+        self.degrees = degrees
+        self.fill = fill
+
+    def __call__(self, img, lbl, rng):
+        angle = rng.uniform(-self.degrees, self.degrees)
+        img = img.rotate(angle, resample=Image.BILINEAR)
+        lbl = lbl.rotate(angle, resample=Image.NEAREST, fillcolor=self.fill)
+        return img, lbl
+
+
+class ColorJitter:
+    """Brightness/contrast/saturation jitter on the image only."""
+
+    def __init__(self, brightness: float = 0.3, contrast: float = 0.3,
+                 saturation: float = 0.3):
+        self.brightness = brightness
+        self.contrast = contrast
+        self.saturation = saturation
+
+    def __call__(self, img, lbl, rng):
+        from PIL import ImageEnhance
+        for attr, enh in [("brightness", ImageEnhance.Brightness),
+                          ("contrast", ImageEnhance.Contrast),
+                          ("saturation", ImageEnhance.Color)]:
+            amt = getattr(self, attr)
+            if amt > 0:
+                img = enh(img).enhance(rng.uniform(1 - amt, 1 + amt))
+        return img, lbl

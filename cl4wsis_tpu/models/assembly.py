@@ -53,6 +53,7 @@ class CL4WSISModel(nn.Module):
     detach_instance: bool = False
     dtype: Any = None
     norm_act: str = "iabn_sync"
+    remat: bool = False  # rematerialize backbone blocks (memory for FLOPs)
     # test hook: override the ResNet block counts (e.g. (1,1,1,1) for tiny nets)
     backbone_structure: Optional[Sequence[int]] = None
 
@@ -67,7 +68,7 @@ class CL4WSISModel(nn.Module):
             structure = self.backbone_structure or (
                 (3, 4, 23, 3) if self.backbone == "resnet101" else (3, 4, 6, 3))
             self.body = ResNet(structure=tuple(structure), output_stride=self.output_stride,
-                               norm=norm, dtype=self.dtype)
+                               norm=norm, dtype=self.dtype, remat=self.remat)
         elif self.backbone == "wider_resnet38_a2":
             from cl4wsis_tpu.models.wide_resnet import WiderResNet38A2
             self.body = WiderResNet38A2(output_stride=self.output_stride,
@@ -137,10 +138,12 @@ def make_model(classes: Sequence[int], backbone: str = "resnet101",
                output_stride: int = 16, crop_size: int = 512,
                branch: str = "ins", detach_instance: bool = False,
                dtype: Any = None, norm_act: str = "iabn_sync",
+               remat: bool = False,
                backbone_structure: Optional[Sequence[int]] = None) -> CL4WSISModel:
     """Factory mirroring reference ``make_model`` (segmentation_module.py:61)."""
     return CL4WSISModel(
         classes=tuple(classes), backbone=backbone, output_stride=output_stride,
         pooling_size=crop_size // output_stride,
         has_instance=(branch == "ins"), detach_instance=detach_instance,
-        dtype=dtype, norm_act=norm_act, backbone_structure=backbone_structure)
+        dtype=dtype, norm_act=norm_act, remat=remat,
+        backbone_structure=backbone_structure)

@@ -64,6 +64,9 @@ class ResNet(nn.Module):
     output_stride: int = 16
     norm: Callable[..., nn.Module] = ABN
     dtype: Any = None
+    # rematerialize each residual block's activations in backward (trades
+    # FLOPs for HBM; lets batch 16 @ 512^2 train within a v5e's 16GB)
+    remat: bool = False
 
     @property
     def out_channels(self) -> int:
@@ -86,13 +89,15 @@ class ResNet(nn.Module):
         outs = {"res1": y}
         channels = [64, 64, 256] if self.bottleneck else [64, 64]
         block_cls = Bottleneck if self.bottleneck else BasicBlock
+        if self.remat:
+            block_cls = nn.remat(block_cls, static_argnums=(2,))
         for mod_id, num in enumerate(self.structure):
             d = dilation[mod_id]
             for block_id in range(num):
                 stride = 2 if d == 1 and block_id == 0 and mod_id > 0 else 1
                 y = block_cls(channels=tuple(channels), stride=stride, dilation=d,
                               norm=self.norm, dtype=self.dtype,
-                              name=f"mod{mod_id + 2}_block{block_id + 1}")(y, train=train)
+                              name=f"mod{mod_id + 2}_block{block_id + 1}")(y, train)
             outs[f"res{mod_id + 2}"] = y
             channels = [c * 2 for c in channels]
         return outs

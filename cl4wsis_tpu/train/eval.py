@@ -44,12 +44,10 @@ def make_eval_forward(model, variables, num_classes: int, val_flip: bool = False
         else:
             seg_prob, center = seg_prob[0], center[0]
         offset = pred["offset"][0].astype(jnp.float32)
-        # offsets were produced at network input scale; rescale to target
-        # (dataset/utils.py:829-831) — resize_bilinear interpolates values,
-        # the scale factor adjusts their magnitude
-        out_h, out_w = pred["seg"].shape[1:3]
-        # NOTE: pred already resized; reference rescales by target/out of the
-        # *pre-resize* output size, which equals the input image size here.
+        # NOTE on offset magnitudes: the reference multiplies offsets by
+        # target/out_size (dataset/utils.py:829-831), but out_size is read
+        # AFTER the interpolation to target size, so the factor is exactly 1
+        # — offsets keep their input-pixel scale. Matched here (no rescale).
         return get_ins_map(seg_prob, center, offset, num_classes=num_classes,
                            val_thresh=val_thresh, val_kernel=val_kernel,
                            beta=beta)

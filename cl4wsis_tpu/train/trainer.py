@@ -43,7 +43,7 @@ class Trainer:
 
         mk = dict(backbone=cfg.backbone, output_stride=cfg.output_stride,
                   crop_size=cfg.crop_size, branch=cfg.branch, dtype=self.dtype,
-                  norm_act=cfg.norm_act)
+                  norm_act=cfg.norm_act, remat=cfg.remat)
         if getattr(cfg, "tiny", False):
             mk["backbone_structure"] = (1, 1, 1, 1)
         self.model = make_model(self.classes, detach_instance=cfg.detach_instance,

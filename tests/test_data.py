@@ -153,3 +153,19 @@ def test_ann_to_mask_rle_dict():
     ann = {"segmentation": rle, "image_id": 1}
     m = ann_to_mask(ann, 4, 4)
     np.testing.assert_array_equal(m, np.eye(4, dtype=np.uint8))
+
+
+def test_extended_transforms():
+    from cl4wsis_tpu.data import transforms as T
+    rng = np.random.RandomState(0)
+    img = Image.fromarray((rng.rand(40, 60, 3) * 255).astype(np.uint8))
+    lbl = Image.fromarray(rng.randint(0, 5, (40, 60), dtype=np.uint8))
+    for t in [T.RandomVerticalFlip(1.0), T.RandomScale((0.5, 2.0)),
+              T.CenterCrop(32), T.PadCenterCrop(64), T.RandomCrop(32),
+              T.RandomRotation(10), T.ColorJitter()]:
+        i2, l2 = t(img, lbl, rng)
+        assert i2.size == l2.size
+    # PadCenterCrop pads labels with 255
+    i2, l2 = T.PadCenterCrop(64)(img, lbl, rng)
+    assert i2.size == (64, 64)
+    assert (np.asarray(l2) == 255).any()
