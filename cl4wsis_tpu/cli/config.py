@@ -105,6 +105,7 @@ class Config:
     test: bool = False
     seg_ckpt: Optional[str] = None
     debug: bool = False
+    profile_dir: Optional[str] = None  # jax.profiler trace output dir
 
     # derived in finalize()
     branch: str = "ins"

@@ -50,7 +50,8 @@ def build_data(cfg: Config):
         train, val = make_voc_datasets(cfg.data_root, step_dict, cfg.step,
                                        cfg.crop_size, cfg.crop_size_val,
                                        overlap=cfg.overlap,
-                                       masking=not cfg.no_mask)
+                                       masking=not cfg.no_mask,
+                                       pseudo=cfg.pseudo)
     elif cfg.dataset == "coco-voc" and cfg.step > 0:
         # step 1 of coco-voc: VOC images, labels in the COCO id space
         # (reference VOCasCOCOSegmentationIncremental)

@@ -66,8 +66,10 @@ class VOCInstanceSegmentation:
     def __init__(self, data_dir: str, ann_file: str, old_classes: List[int],
                  new_classes: List[int], is_train: bool = True,
                  overlap: bool = True, masking: bool = True,
-                 as_coco: bool = False):
+                 as_coco: bool = False, pseudo: Optional[str] = None):
         self.coco = CocoJson(ann_file)
+        self.data_dir = data_dir
+        self.pseudo = pseudo  # precomputed pseudo-label set name
         self.root = os.path.join(data_dir, "voc", "JPEGImages")
         self.is_train = is_train
         self.old_classes = old_classes
@@ -113,6 +115,23 @@ class VOCInstanceSegmentation:
             l1h = np.zeros((self.n_l1h,), np.float32)
             cats = np.unique([a["category_id"] for a in anno]).astype(int)
             l1h[cats - 1] = 1
+            if self.pseudo is not None:
+                # precomputed pseudo instance labels substitute seg + inst
+                # (reference dataset/voc.py:159-169,305-320):
+                # data/voc/{pseudo}/ins_seg_{pseudo}/{name}.npy with
+                # dict(mask=(K,H,W) bool, class=(K,) 0-based thing classes)
+                name = os.path.splitext(os.path.basename(path))[0]
+                npy = np.load(os.path.join(
+                    self.data_dir, "voc", self.pseudo,
+                    f"ins_seg_{self.pseudo}", f"{name}.npy"),
+                    allow_pickle=True).item()
+                masks = npy["mask"].astype(np.uint8)
+                seg = np.max(np.stack([m * (int(c) + 1) for m, c in
+                                       zip(masks, npy["class"])]), axis=0
+                             ).astype(np.uint8)
+                inst = np.max(np.stack([m * (i + 1) for i, m in
+                                        enumerate(masks)]), axis=0
+                              ).astype(np.uint8)
             return img, seg, inst, l1h, path
         seg = np.max(np.stack([self.coco.annToMask(a) * a["category_id"]
                                for a in anno]), axis=0).astype(np.uint8)
@@ -205,7 +224,7 @@ def make_voc_datasets(data_root: str, step_dict: Dict[int, List[int]],
                       step: int, crop_size: int = 512,
                       crop_size_val: Optional[int] = 512,
                       overlap: bool = True, masking: bool = True,
-                      as_coco: bool = False):
+                      as_coco: bool = False, pseudo: Optional[str] = None):
     """Factory mirroring reference ``dataset/__init__.py:9-72`` for VOC
     (and coco-voc step 1 with as_coco=True)."""
     labels, labels_old = (list(step_dict[step]),
@@ -215,7 +234,7 @@ def make_voc_datasets(data_root: str, step_dict: Dict[int, List[int]],
     train_raw = VOCInstanceSegmentation(
         data_root, os.path.join(data_root, "voc", "pascal_sbd_train.json"),
         old_classes, new_classes, is_train=True, overlap=overlap,
-        masking=masking, as_coco=as_coco)
+        masking=masking, as_coco=as_coco, pseudo=pseudo)
     val_raw = VOCInstanceSegmentation(
         data_root, os.path.join(data_root, "voc", "pascal_sbd_val.json"),
         old_classes, new_classes, is_train=False, overlap=overlap,

@@ -189,9 +189,15 @@ class Trainer:
         agg: Dict[str, float] = {}
         n = 0
         t0 = time.time()
+        timer = None
+        if cfg.profile_dir and epoch == 0:
+            from cl4wsis_tpu.utils.logging import StepTimer
+            timer = StepTimer(cfg.profile_dir, trace_steps=range(2, 5))
         for i, batch_np in enumerate(batches):
             rng, sub = jax.random.split(rng)
             batch = self._device_batch(batch_np)
+            if timer is not None:
+                timer.start_step(i)
             if cfg.phase == 1:
                 self.state, metrics = step_fn(self.state, batch, self.old_vars, sub)
             elif cfg.phase == 2:
@@ -199,6 +205,8 @@ class Trainer:
                                               self.aux_vars, sub)
             else:
                 self.state, metrics = step_fn(self.state, batch, sub)
+            if timer is not None:
+                timer.end_step(i, metrics["loss"])
             n += 1
             if i == 0 or cfg.debug:
                 jax.block_until_ready(metrics["loss"])
@@ -209,6 +217,8 @@ class Trainer:
         metrics = {k: float(v) for k, v in metrics.items()}
         metrics["epoch_time_s"] = time.time() - t0
         metrics["n_batches"] = n
+        if timer is not None:
+            metrics.update({f"step_{k}": v for k, v in timer.summary().items()})
         return metrics
 
     def _device_batch(self, batch_np: Dict[str, np.ndarray]):

@@ -169,3 +169,23 @@ def test_extended_transforms():
     i2, l2 = T.PadCenterCrop(64)(img, lbl, rng)
     assert i2.size == (64, 64)
     assert (np.asarray(l2) == 255).any()
+
+
+def test_pseudo_label_substitution(tmp_path):
+    root = str(tmp_path)
+    _write_fake_voc(root, n_images=2)
+    # precomputed pseudo labels for img_000
+    pdir = os.path.join(root, "voc", "mylabels", "ins_seg_mylabels")
+    os.makedirs(pdir, exist_ok=True)
+    masks = np.zeros((2, 48, 48), bool)
+    masks[0, :8, :8] = True
+    masks[1, 20:30, 20:30] = True
+    for i in range(2):
+        np.save(os.path.join(pdir, f"img_{i:03d}.npy"),
+                {"mask": masks, "class": np.array([15, 3])})
+    ds = VOCInstanceSegmentation(
+        root, os.path.join(root, "voc", "pascal_sbd_train.json"),
+        [], [16, 1], is_train=True, masking=False, pseudo="mylabels")
+    img, seg, inst, l1h, path = ds[0]
+    assert seg[0, 0] == 16 and seg[25, 25] == 4  # class+1
+    assert inst[0, 0] == 1 and inst[25, 25] == 2
