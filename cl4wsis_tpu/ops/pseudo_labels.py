@@ -30,13 +30,15 @@ MINIMUM_MASK_SIZE = 20  # modules/utils.py:14
 MAXIMUM_NUM_INST = 5    # modules/utils.py:15
 
 
-@partial(jax.jit, static_argnames=("num_classes", "sigma", "max_comp", "cc_iters"))
+@partial(jax.jit, static_argnames=("num_classes", "sigma", "max_comp",
+                                   "cc_iters", "first_class"))
 def pseudo_label_generation(seg_map: jnp.ndarray,
                             peak_ys: jnp.ndarray, peak_xs: jnp.ndarray,
                             peak_valid: jnp.ndarray,
                             cls_label: jnp.ndarray,
                             num_classes: int, sigma: int = 6,
-                            max_comp: int = 32, cc_iters: int = 16
+                            max_comp: int = 32, cc_iters: int = 16,
+                            first_class: int = 0
                             ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One sample.
 
@@ -47,6 +49,9 @@ def pseudo_label_generation(seg_map: jnp.ndarray,
       cls_label: (C,) float/bool — image-level labels for NEW thing classes
         (old entries zeroed by the caller, ``train.py:448-449``).
       num_classes: number of thing classes C (= tot_classes - 1).
+      first_class: skip classes below this index entirely (phase 2 only
+        generates labels for NEW classes — old entries of cls_label are 0,
+        so skipping them is exact and saves their CC/matching work).
 
     Returns:
       center (H, W, C), offset (H, W, 2), weight (H, W, 1), total_match ().
@@ -86,13 +91,13 @@ def pseudo_label_generation(seg_map: jnp.ndarray,
         return (off_y, off_x, weight, cy[sel], cx[sel], valid, n_match)
 
     off_y, off_x, weight, sel_cy, sel_cx, sel_valid, n_match = jax.lax.map(
-        per_class, jnp.arange(num_classes))
+        per_class, jnp.arange(first_class, num_classes))
 
     # merge per-class pixel maps (class fg masks are disjoint)
     offset = jnp.stack([jnp.sum(off_y, 0), jnp.sum(off_x, 0)], axis=-1)
     weight_map = jnp.sum(weight, 0)[..., None]
 
-    cls_ids = jnp.repeat(jnp.arange(num_classes), max_comp)
+    cls_ids = jnp.repeat(jnp.arange(first_class, num_classes), max_comp)
     center = stamp_centers(sel_valid.reshape(-1), sel_cy.reshape(-1),
                            sel_cx.reshape(-1), cls_ids, num_classes, sigma,
                            (H, W))

@@ -35,14 +35,15 @@ from cl4wsis_tpu.ops.pseudo_labels import MAXIMUM_NUM_INST, MINIMUM_MASK_SIZE
 
 @partial(jax.jit, static_argnames=(
     "num_classes", "sigma", "refine_thresh", "nms_kernel", "beta",
-    "max_ctr", "max_cluster", "cc_iters"))
+    "max_ctr", "max_cluster", "cc_iters", "first_class"))
 def refine_label_generation(seg_probs: jnp.ndarray, center_map: jnp.ndarray,
                             offset_map: jnp.ndarray, label: jnp.ndarray,
                             gt_seg: jnp.ndarray, *, num_classes: int,
                             sigma: int = 6, refine_thresh: float = 0.3,
                             nms_kernel: int = 41, beta: float = 3.0,
                             max_ctr: int = 16, max_cluster: int = 8,
-                            cc_iters: int = 8) -> Dict[str, jnp.ndarray]:
+                            cc_iters: int = 8,
+                            first_class: int = 0) -> Dict[str, jnp.ndarray]:
     """One sample.
 
     Args:
@@ -156,11 +157,11 @@ def refine_label_generation(seg_probs: jnp.ndarray, center_map: jnp.ndarray,
         return (off_y, off_x, w_px, out_y, out_x, slot_ok & active, is_cluster)
 
     (off_y, off_x, w_px, sel_y, sel_x, sel_ok, _) = jax.lax.map(
-        per_class, jnp.arange(num_classes))
+        per_class, jnp.arange(first_class, num_classes))
 
     offset = jnp.stack([jnp.sum(off_y, 0), jnp.sum(off_x, 0)], axis=-1)
     weight = jnp.sum(w_px, 0)[..., None]
-    cls_ids = jnp.repeat(jnp.arange(num_classes), S)
+    cls_ids = jnp.repeat(jnp.arange(first_class, num_classes), S)
     center = stamp_centers(sel_ok.reshape(-1), sel_y.reshape(-1),
                            sel_x.reshape(-1), cls_ids, num_classes, sigma,
                            (H, W))

@@ -114,9 +114,11 @@ def make_phase2_train_step(model, model_old, pseudolabeler, peakgenerator,
         peak_valid = (peak_conf >= pseudo_thresh) & (cls_label[:, :, None] > 0)
 
         # ---- pseudo labels (device label factory) -------------------------
+        # only NEW classes can produce labels (old cls_label entries are 0),
+        # so skip the old classes' CC/matching work entirely
         pc, po, pw, _ = jax.vmap(
             partial(pseudo_label_generation, num_classes=n_things,
-                    sigma=sigma, cc_iters=cc_iters))(
+                    sigma=sigma, cc_iters=cc_iters, first_class=old_things))(
             seg_gt, peak_ys, peak_xs, peak_valid, cls_label)
 
         # ---- self-refinement ----------------------------------------------
@@ -124,7 +126,8 @@ def make_phase2_train_step(model, model_old, pseudolabeler, peakgenerator,
             refined = jax.vmap(
                 partial(refine_label_generation, num_classes=n_things,
                         sigma=sigma, refine_thresh=refine_thresh,
-                        nms_kernel=nms_kernel, beta=beta, cc_iters=cc_iters))(
+                        nms_kernel=nms_kernel, beta=beta, cc_iters=cc_iters,
+                        first_class=old_things))(
                 soft, jax.lax.stop_gradient(center_out),
                 jax.lax.stop_gradient(offset_out), cls_label, seg_gt)
             pw_sum = jnp.maximum(old_fg, pw)

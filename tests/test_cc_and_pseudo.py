@@ -184,3 +184,26 @@ def test_pseudo_label_generation_matches_reference():
     np.testing.assert_allclose(np.asarray(o)[..., 0], ro[0], atol=1e-5)
     np.testing.assert_allclose(np.asarray(o)[..., 1], ro[1], atol=1e-5)
     np.testing.assert_allclose(np.asarray(w)[..., 0], rw[0], atol=1e-5)
+
+
+def test_pseudo_label_generation_first_class_equivalent():
+    """Skipping inactive old classes must not change the output."""
+    H = W = 32
+    C = 5
+    seg = np.zeros((H, W), np.int32)
+    seg[4:20, 4:20] = 4  # class index 3 (a "new" class)
+    peak_ys = np.zeros((C, 3), np.int32)
+    peak_xs = np.zeros((C, 3), np.int32)
+    peak_valid = np.zeros((C, 3), bool)
+    peak_ys[3, 0], peak_xs[3, 0], peak_valid[3, 0] = 10, 10, True
+    cls_label = np.array([0, 0, 0, 1, 0], np.float32)
+    full = pseudo_label_generation(
+        jnp.asarray(seg), jnp.asarray(peak_ys), jnp.asarray(peak_xs),
+        jnp.asarray(peak_valid), jnp.asarray(cls_label),
+        num_classes=C, sigma=3, max_comp=4)
+    skip = pseudo_label_generation(
+        jnp.asarray(seg), jnp.asarray(peak_ys), jnp.asarray(peak_xs),
+        jnp.asarray(peak_valid), jnp.asarray(cls_label),
+        num_classes=C, sigma=3, max_comp=4, first_class=2)
+    for a, b in zip(full, skip):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
