@@ -206,3 +206,137 @@ def load_torch_pretrained(path: str, backbone: str = "resnet101") -> Optional[Di
     sd = blob.get("state_dict", blob)
     sd = {k: v.numpy() for k, v in sd.items()}
     return convert_torch_resnet(sd)
+
+
+# ------------------------------------------ full-model torch ckpt ingest
+
+def convert_torch_cl4wsis(state_dict: Dict[str, "np.ndarray"],
+                          abs_bn_weight: bool = True) -> Dict:
+    """Convert a full reference model checkpoint (the `model_state` of
+    ``run.py:save_ckpt``) to this repo's flax variable tree, so models
+    trained with the PyTorch reference can be evaluated/continued here.
+
+    Key layout transcribed from the reference model definitions:
+      body.*                       (models/resnet.py, modules/residual.py)
+      head.map_convs.{0-3} / map_bn / global_pooling_{conv,bn} /
+        {red,pool_red}_conv / red_bn        (modules/deeplab.py:24-37)
+      cls.{i}.{weight,bias}                 (segmentation_module.py:107-113)
+      decoder.instance_decoder.aspp.convs.{0-4} / project
+        project.{i} / fuse.{i}              (modules/panoptic_deeplab.py)
+      instance_head.classifier.{center,offset}.{fuse,cls}
+                                            (modules/panoptic_deeplab.py:432-468)
+    A leading 'module.' (DDP) prefix is stripped.
+    """
+    import re
+
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    def put(tree, path, leaf):
+        node = tree
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = jnp.asarray(leaf)
+
+    def put_conv(path, val):
+        put(params, path + ("kernel",), np.asarray(val).transpose(2, 3, 1, 0))
+
+    def put_bias(path, val):
+        put(params, path + ("bias",), np.asarray(val))
+
+    def put_bn(path, field, val):
+        _put_bn(params, stats, path, field, np.asarray(val), abs_bn_weight)
+
+    # torch Sequential paths of a depthwise-separable fuse conv
+    # (panoptic_deeplab.py:32-67): {base}.0.0.0 dw conv, .0.0.1 dw bn,
+    # .0.1 pointwise conv, .0.2 pointwise bn
+    def put_dwsep(flax_base, rest, val):
+        if rest == "0.0.0.weight":
+            put_conv(flax_base + ("depthwise", "conv"), val)
+        elif rest.startswith("0.0.1."):
+            put_bn(flax_base + ("depthwise", "bn"), rest.split(".")[-1], val)
+        elif rest == "0.1.weight":
+            put_conv(flax_base + ("pointwise",), val)
+        elif rest.startswith("0.2."):
+            put_bn(flax_base + ("pointwise_bn",), rest.split(".")[-1], val)
+
+    backbone_sd = {}
+    for key, val in state_dict.items():
+        if key.startswith("module."):
+            key = key[7:]
+        val = np.asarray(val)
+        if key.startswith("body."):
+            backbone_sd[key[5:]] = val
+        elif key.startswith("head."):
+            rest = key[5:]
+            m = re.match(r"map_convs\.(\d)\.weight", rest)
+            if m:
+                put_conv(("seg_head", f"map_conv{m.group(1)}"), val)
+            elif rest.startswith("map_bn."):
+                put_bn(("seg_head", "map_bn"), rest.split(".")[-1], val)
+            elif rest == "global_pooling_conv.weight":
+                put_conv(("seg_head", "global_pooling_conv"), val)
+            elif rest.startswith("global_pooling_bn."):
+                put_bn(("seg_head", "global_pooling_bn"), rest.split(".")[-1], val)
+            elif rest == "red_conv.weight":
+                put_conv(("seg_head", "red_conv"), val)
+            elif rest == "pool_red_conv.weight":
+                put_conv(("seg_head", "pool_red_conv"), val)
+            elif rest.startswith("red_bn."):
+                put_bn(("seg_head", "red_bn"), rest.split(".")[-1], val)
+        elif key.startswith("cls."):
+            i, field = key.split(".")[1:3]
+            if field == "weight":
+                put_conv(("cls", f"cls_{i}"), val)
+            else:
+                put_bias(("cls", f"cls_{i}"), val)
+        elif key.startswith("decoder.instance_decoder."):
+            rest = key[len("decoder.instance_decoder."):]
+            if rest.startswith("aspp.convs."):
+                sub = rest[len("aspp.convs."):]
+                i, tail = sub.split(".", 1)
+                i = int(i)
+                if i < 4:  # conv branches: Sequential(conv, bn, relu)
+                    if tail == "0.weight":
+                        put_conv(("instance_decoder", "aspp", f"branch{i}", "conv"), val)
+                    elif tail.startswith("1."):
+                        put_bn(("instance_decoder", "aspp", f"branch{i}", "bn"),
+                               tail.split(".")[-1], val)
+                else:  # pooling branch: aspp_pooling.1 conv (no bn)
+                    if tail == "aspp_pooling.1.weight":
+                        put_conv(("instance_decoder", "aspp", "pool_conv"), val)
+            elif rest.startswith("aspp.project."):
+                tail = rest[len("aspp.project."):]
+                if tail == "0.weight":
+                    put_conv(("instance_decoder", "aspp", "project_conv"), val)
+                elif tail.startswith("1."):
+                    put_bn(("instance_decoder", "aspp", "project_bn"),
+                           tail.split(".")[-1], val)
+            elif re.match(r"project\.(\d)\.", rest):
+                i, tail = rest.split(".", 2)[1:]
+                if tail == "0.weight":
+                    put_conv(("instance_decoder", f"project_{i}", "conv"), val)
+                elif tail.startswith("1."):
+                    put_bn(("instance_decoder", f"project_{i}", "bn"),
+                           tail.split(".")[-1], val)
+            elif re.match(r"fuse\.(\d)\.", rest):
+                i, tail = rest.split(".", 2)[1:]
+                put_dwsep(("instance_decoder", f"fuse_{i}"), tail, val)
+        elif key.startswith("instance_head.classifier."):
+            rest = key[len("instance_head.classifier."):]
+            head, tail = rest.split(".", 1)
+            if tail.startswith("fuse."):
+                put_dwsep(("instance_head", f"{head}_fuse"),
+                          tail[len("fuse."):], val)
+            elif tail.startswith("cls."):
+                i, field = tail.split(".")[1:3]
+                base = ("instance_head", f"{head}_cls_{i}")
+                if field == "weight":
+                    put_conv(base, val)
+                else:
+                    put_bias(base, val)
+
+    body = convert_torch_resnet(backbone_sd, abs_bn_weight)
+    params["body"] = body["params"]
+    stats["body"] = body["batch_stats"]
+    return {"params": params, "batch_stats": stats}

@@ -99,3 +99,114 @@ def test_convert_torch_resnet():
     assert n_conv == 1 + 4 * 4  # mod1 + 4 convs per block
     out = model.apply({"params": merged_p, "batch_stats": merged_s}, x, train=False)
     assert np.isfinite(np.asarray(out["res5"])).all()
+
+
+def _count_leaves(tree):
+    return len(jax.tree_util.tree_leaves(tree))
+
+
+def test_convert_torch_full_model():
+    """Synthetic full-model torch state dict (reference key layout) converts
+    into a tree that slots into the flax init and covers every parameter."""
+    from cl4wsis_tpu.cl.ckpt import convert_torch_cl4wsis
+
+    m, v = _init((4, 2))  # tiny backbone, classes (4,2)
+    rs = np.random.RandomState(0)
+    sd = {}
+
+    def t4(p):  # flax (kh,kw,cin,cout) -> torch (cout,cin,kh,kw)
+        return np.asarray(p).transpose(3, 2, 0, 1)
+
+    # backbone
+    def emit_bn(prefix, node, stat):
+        sd[f"{prefix}.weight"] = np.asarray(node["scale"])
+        sd[f"{prefix}.bias"] = np.asarray(node["bias"])
+        sd[f"{prefix}.running_mean"] = np.asarray(stat["mean"])
+        sd[f"{prefix}.running_var"] = np.asarray(stat["var"])
+
+    bp, bs = v["params"]["body"], v["batch_stats"]["body"]
+    sd["body.mod1.conv1.weight"] = t4(bp["mod1_conv1"]["kernel"])
+    emit_bn("body.mod1.bn1", bp["mod1_bn1"], bs["mod1_bn1"])
+    for mod in range(2, 6):
+        base = f"mod{mod}_block1"
+        for c in ("conv1", "conv2", "conv3"):
+            sd[f"body.mod{mod}.block1.convs.{c}.weight"] = t4(bp[base][c]["kernel"])
+        for b in ("bn1", "bn2", "bn3"):
+            emit_bn(f"body.mod{mod}.block1.convs.{b}", bp[base][b], bs[base][b])
+        sd[f"body.mod{mod}.block1.proj_conv.weight"] = t4(bp[base]["proj_conv"]["kernel"])
+        emit_bn(f"body.mod{mod}.block1.proj_bn", bp[base]["proj_bn"], bs[base]["proj_bn"])
+
+    # deeplab head
+    hp, hs = v["params"]["seg_head"], v["batch_stats"]["seg_head"]
+    for i in range(4):
+        sd[f"head.map_convs.{i}.weight"] = t4(hp[f"map_conv{i}"]["kernel"])
+    emit_bn("head.map_bn", hp["map_bn"], hs["map_bn"])
+    sd["head.global_pooling_conv.weight"] = t4(hp["global_pooling_conv"]["kernel"])
+    emit_bn("head.global_pooling_bn", hp["global_pooling_bn"], hs["global_pooling_bn"])
+    sd["head.red_conv.weight"] = t4(hp["red_conv"]["kernel"])
+    sd["head.pool_red_conv.weight"] = t4(hp["pool_red_conv"]["kernel"])
+    emit_bn("head.red_bn", hp["red_bn"], hs["red_bn"])
+
+    # classifiers
+    for i in range(2):
+        sd[f"cls.{i}.weight"] = t4(v["params"]["cls"][f"cls_{i}"]["kernel"])
+        sd[f"cls.{i}.bias"] = np.asarray(v["params"]["cls"][f"cls_{i}"]["bias"])
+
+    # instance decoder
+    dp, ds = v["params"]["instance_decoder"], v["batch_stats"]["instance_decoder"]
+    for i in range(4):
+        sd[f"decoder.instance_decoder.aspp.convs.{i}.0.weight"] = \
+            t4(dp["aspp"][f"branch{i}"]["conv"]["kernel"])
+        emit_bn(f"decoder.instance_decoder.aspp.convs.{i}.1",
+                dp["aspp"][f"branch{i}"]["bn"], ds["aspp"][f"branch{i}"]["bn"])
+    sd["decoder.instance_decoder.aspp.convs.4.aspp_pooling.1.weight"] = \
+        t4(dp["aspp"]["pool_conv"]["kernel"])
+    sd["decoder.instance_decoder.aspp.project.0.weight"] = \
+        t4(dp["aspp"]["project_conv"]["kernel"])
+    emit_bn("decoder.instance_decoder.aspp.project.1",
+            dp["aspp"]["project_bn"], ds["aspp"]["project_bn"])
+    for i in range(3):
+        sd[f"decoder.instance_decoder.project.{i}.0.weight"] = \
+            t4(dp[f"project_{i}"]["conv"]["kernel"])
+        emit_bn(f"decoder.instance_decoder.project.{i}.1",
+                dp[f"project_{i}"]["bn"], ds[f"project_{i}"]["bn"])
+        fb = f"decoder.instance_decoder.fuse.{i}"
+        sd[f"{fb}.0.0.0.weight"] = t4(dp[f"fuse_{i}"]["depthwise"]["conv"]["kernel"])
+        emit_bn(f"{fb}.0.0.1", dp[f"fuse_{i}"]["depthwise"]["bn"],
+                ds[f"fuse_{i}"]["depthwise"]["bn"])
+        sd[f"{fb}.0.1.weight"] = t4(dp[f"fuse_{i}"]["pointwise"]["kernel"])
+        emit_bn(f"{fb}.0.2", dp[f"fuse_{i}"]["pointwise_bn"],
+                ds[f"fuse_{i}"]["pointwise_bn"])
+
+    # instance head
+    ip, isd = v["params"]["instance_head"], v["batch_stats"]["instance_head"]
+    for head, fuse in [("center", "center_fuse"), ("offset", "offset_fuse")]:
+        fb = f"instance_head.classifier.{head}.fuse"
+        sd[f"{fb}.0.0.0.weight"] = t4(ip[fuse]["depthwise"]["conv"]["kernel"])
+        emit_bn(f"{fb}.0.0.1", ip[fuse]["depthwise"]["bn"], isd[fuse]["depthwise"]["bn"])
+        sd[f"{fb}.0.1.weight"] = t4(ip[fuse]["pointwise"]["kernel"])
+        emit_bn(f"{fb}.0.2", ip[fuse]["pointwise_bn"], isd[fuse]["pointwise_bn"])
+    for i in range(2):
+        sd[f"instance_head.classifier.center.cls.{i}.weight"] = \
+            t4(ip[f"center_cls_{i}"]["kernel"])
+        sd[f"instance_head.classifier.center.cls.{i}.bias"] = \
+            np.asarray(ip[f"center_cls_{i}"]["bias"])
+    sd["instance_head.classifier.offset.cls.0.weight"] = t4(ip["offset_cls_0"]["kernel"])
+    sd["instance_head.classifier.offset.cls.0.bias"] = np.asarray(ip["offset_cls_0"]["bias"])
+
+    conv = convert_torch_cl4wsis(sd, abs_bn_weight=False)
+    merged_p = tree_merge(v["params"], conv["params"])
+    merged_s = tree_merge(v["batch_stats"], conv["batch_stats"])
+    # structure preserved, every converted leaf covers an existing one
+    assert jax.tree_util.tree_structure(merged_p) == \
+        jax.tree_util.tree_structure(v["params"])
+    assert _count_leaves(conv["params"]) == _count_leaves(v["params"])
+    assert _count_leaves(conv["batch_stats"]) == _count_leaves(v["batch_stats"])
+    # round-trip exactness (the sd was built FROM v)
+    for a, b in zip(jax.tree_util.tree_leaves(merged_p),
+                    jax.tree_util.tree_leaves(v["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    # converted model runs
+    out, _ = _init((4, 2))[0].apply({"params": merged_p, "batch_stats": merged_s},
+                                    jnp.zeros((1, 64, 64, 3)), train=False)
+    assert out["seg"].shape[-1] == 6
