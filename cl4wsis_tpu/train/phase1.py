@@ -72,7 +72,8 @@ def make_phase1_train_step(model, model_old, pseudolabeler, peakgenerator,
                            use_affinity: bool = True,
                            use_flac: bool = True,
                            use_randrop: bool = True,
-                           use_pseudo: bool = False) -> Callable:
+                           use_pseudo: bool = False,
+                           no_mask: bool = False) -> Callable:
     """Build the phase-1 step. `use_pseudo` selects the post-warmup program
     (epoch >= pseudo_ep); build one step per variant (both cached by jit)."""
     tot_classes = model.tot_classes
@@ -141,8 +142,9 @@ def make_phase1_train_step(model, model_old, pseudolabeler, peakgenerator,
 
         # ---- CAM losses ---------------------------------------------------
         # l1h is (B, tot-1); new-class slice starts at old_classes-1
+        cam_labels = l1h if no_mask else l1h[:, old_classes - 1:]
         l_cam_new = wss_losses.bce_loss(
-            int_masks_raw, l1h[:, old_classes - 1:], mode="ngwp", reduction="mean")
+            int_masks_raw, cam_labels, mode="ngwp", reduction="mean")
         l_peak = losses.bce_with_logits(
             peak_logits[:, old_classes - 1:], l1h[:, old_classes - 1:])
 
@@ -150,6 +152,10 @@ def make_phase1_train_step(model, model_old, pseudolabeler, peakgenerator,
         out_old_seg = resize_bilinear(out_old["seg"], cam_size, align_corners=False)
         out_seg = resize_bilinear(pred["seg"], cam_size, align_corners=False)
         target_old = jax.nn.sigmoid(out_old_seg.astype(jnp.float32))
+        if no_mask:
+            # train.py:351-352: mask old-class targets by image labels
+            target_old = target_old.at[..., 1:].multiply(
+                l1h[:, None, None, :old_classes - 1])
         l_loc = losses.bce_with_logits(int_masks_raw[..., :old_classes], target_old)
 
         l_cam_int = l_cam_new + l_loc + l_peak
@@ -206,7 +212,8 @@ def make_phase1_train_step(model, model_old, pseudolabeler, peakgenerator,
                 ref = jax.nn.sigmoid(int_masks.astype(jnp.float32))
                 ref = ref.at[..., 1:].multiply(lab)
                 l_cam_int = l_cam_int + wss_losses.randrop_loss(
-                    int_masks_raw, ref, rng_randrop, old_classes)
+                    int_masks_raw, ref, rng_randrop, old_classes,
+                    label=l1h if no_mask else None)
 
         l_reg = l_cls + l_cam_int
         loss_tot = l_seg + lde + l_reg

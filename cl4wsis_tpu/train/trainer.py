@@ -121,7 +121,9 @@ class Trainer:
                      "pseudolabeler": self.aux_vars["pseudolabeler"]["batch_stats"],
                      "peakgenerator": {}}
             scale = {"body": 1.0, "seg": cfg.lr_head,
-                     "pseudo": cfg.lr_pseudo / cfg.lr, "instance": cfg.lr_head}
+                     # absolute lr_pseudo expressed as a multiplier of lr
+                     "pseudo": cfg.lr_pseudo / max(cfg.lr, 1e-12),
+                     "instance": cfg.lr_head}
             group_fn = phase1_group_fn
         else:
             params = {"model": self.variables["params"]}
@@ -162,7 +164,8 @@ class Trainer:
                     loss_de=cfg.loss_de, l_seg_weight=cfg.l_seg,
                     alpha=cfg.alpha, icarl_bkg=cfg.icarl_bkg,
                     use_affinity=cfg.affinity, use_flac=cfg.flac,
-                    use_randrop=cfg.randrop, use_pseudo=epoch >= cfg.pseudo_ep)
+                    use_randrop=cfg.randrop, use_pseudo=epoch >= cfg.pseudo_ep,
+                    no_mask=cfg.no_mask)
             return self._train_steps[key]
         if cfg.phase == 2:
             if "p2" not in self._train_steps:
@@ -174,8 +177,10 @@ class Trainer:
                     beta=cfg.beta, run_refine=cfg.run_refine)
             return self._train_steps["p2"]
         if "p0" not in self._train_steps:
-            seg_loss = "bce" if (cfg.bce or cfg.icarl) else (
-                "dce" if cfg.dce else "bce")
+            # reference default (no --bce/--dce) is nn.BCEWithLogitsLoss on a
+            # long map, which errors at runtime; published scripts always use
+            # --bce, so that is the fallback here too (train.py:102-110)
+            seg_loss = "dce" if (cfg.dce and not (cfg.bce or cfg.icarl)) else "bce"
             self._train_steps["p0"] = make_step0_train_step(
                 self.model, self.tx, seg_loss=seg_loss, sigma=cfg.sigma)
         return self._train_steps["p0"]

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from typing import Any, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -45,7 +46,6 @@ def pam(x: jnp.ndarray, alpha: float = 0.7) -> jnp.ndarray:
 def ngwp(x: jnp.ndarray) -> jnp.ndarray:
     """Normalized global weighted pooling logits, (B,H,W,C) -> (B,C)
     (reference ``wss/modules.py:412-423``)."""
-    import jax
     B, H, W, C = x.shape
     masks = jnp.reshape(jax.nn.softmax(x.astype(jnp.float32), axis=-1), (B, H * W, C))
     logits = jnp.reshape(x.astype(jnp.float32), (B, H * W, C))
@@ -89,7 +89,7 @@ class PeakGenerator(nn.Module):
 
         if train:
             return logit, y
-        cam = self._cam_normalize(jax_stop_gradient(y), size, label)
+        cam = self._cam_normalize(jax.lax.stop_gradient(y), size, label)
         return logit, cam
 
     def _cam_normalize(self, cam: jnp.ndarray, size, label: jnp.ndarray) -> jnp.ndarray:
@@ -99,8 +99,3 @@ class PeakGenerator(nn.Module):
         cam = resize_bilinear(cam, tuple(size), align_corners=False)
         cam = cam / (jnp.max(cam, axis=(1, 2), keepdims=True) + 1e-5)
         return cam
-
-
-def jax_stop_gradient(x):
-    import jax
-    return jax.lax.stop_gradient(x)
