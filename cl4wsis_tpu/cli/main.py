@@ -62,8 +62,15 @@ def build_data(cfg: Config):
                                        masking=not cfg.no_mask, as_coco=True)
     elif cfg.dataset in ("coco", "coco-voc"):
         from cl4wsis_tpu.data.coco import make_coco_datasets
+        # reference split-index files (dataset/__init__.py:57-70): the coco
+        # path trains on data/{ds}/{task}[-ov]/train-{step}.npy indices
+        ov = "-ov" if (cfg.overlap and cfg.dataset == "voc") else ""
+        idx_path = os.path.join(cfg.data_root, cfg.dataset,
+                                f"{cfg.task}{ov}", f"train-{cfg.step}.npy")
+        indices = np.load(idx_path) if os.path.exists(idx_path) else None
         train, val = make_coco_datasets(cfg.data_root, step_dict, cfg.step,
-                                        cfg.crop_size, cfg.crop_size_val)
+                                        cfg.crop_size, cfg.crop_size_val,
+                                        train_indices=indices)
     else:
         raise NotImplementedError(cfg.dataset)
     import jax
