@@ -95,11 +95,12 @@ def get_ins_map(seg_prob: jnp.ndarray, center_map: jnp.ndarray,
         center_score = jax.ops.segment_max(
             jnp.where(assign_flat < S, val, -jnp.inf), assign_flat,
             num_segments=S + 1)[:S]
+        slot_ok = ctr_valid & (npix[:S] > 0)
+        center_score = jnp.where(slot_ok, center_score, 0.0)  # -inf on empty
         # cluster-spiked centers read as 1.0 -> fall back to seg_score
         # (dataset/utils.py:885-887)
         center_score = jnp.where(center_score >= 1.0, seg_score, center_score)
         score = center_score * seg_score
-        slot_ok = ctr_valid & (npix[:S] > 0)
         return assign, score, slot_ok
 
     assign_all, score_all, ok_all = jax.lax.map(per_class, jnp.arange(num_classes))
