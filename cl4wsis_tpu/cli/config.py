@@ -28,6 +28,8 @@ class Config:
     crop_size_val: int = 512
     synthetic: bool = False         # tiny synthetic data instead of real
     tiny: bool = False              # 1-block-per-stage backbone (debug/CI)
+    grain: bool = False             # grain host pipeline instead of threads
+    num_workers: int = 4            # grain worker processes
 
     # model
     backbone: str = "resnet101"

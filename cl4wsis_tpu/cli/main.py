@@ -74,9 +74,14 @@ def build_data(cfg: Config):
     else:
         raise NotImplementedError(cfg.dataset)
     import jax
-    loader = Loader(train, cfg.batch_size, seed=cfg.seed,
-                    process_index=jax.process_index(),
-                    process_count=jax.process_count())
+    if cfg.grain:
+        from cl4wsis_tpu.data.grain_pipeline import GrainLoader
+        loader = GrainLoader(train, cfg.batch_size, seed=cfg.seed,
+                             num_workers=cfg.num_workers)
+    else:
+        loader = Loader(train, cfg.batch_size, seed=cfg.seed,
+                        process_index=jax.process_index(),
+                        process_count=jax.process_count())
     return loader, val
 
 

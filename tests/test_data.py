@@ -189,3 +189,22 @@ def test_pseudo_label_substitution(tmp_path):
     img, seg, inst, l1h, path = ds[0]
     assert seg[0, 0] == 16 and seg[25, 25] == 4  # class+1
     assert inst[0, 0] == 1 and inst[25, 25] == 2
+
+
+def test_grain_loader(tmp_path):
+    pytest.importorskip("grain")
+    from cl4wsis_tpu.data.grain_pipeline import GrainLoader
+    root = str(tmp_path)
+    _write_fake_voc(root, n_images=8)
+    step_dict = tasks.get_task_dict("voc", "15-5", 1)
+    train, _ = make_voc_datasets(root, step_dict, step=1, crop_size=32)
+    loader = GrainLoader(train, batch_size=4, seed=3)
+    batches = list(loader.epoch(0))
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["image"].shape == (4, 32, 32, 3)
+    assert b["seg"].shape == (4, 32, 32)
+    assert b["l1h"].shape == (4, 20)
+    # deterministic: same epoch -> same order
+    again = list(loader.epoch(0))
+    np.testing.assert_allclose(b["image"], again[0]["image"])
