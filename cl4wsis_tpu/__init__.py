@@ -21,3 +21,17 @@ Layer map (see SURVEY.md for the reference analysis this is built to):
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level conveniences (avoid importing jax at package import)."""
+    if name == "Predictor":
+        from cl4wsis_tpu.serve import Predictor
+        return Predictor
+    if name == "make_model":
+        from cl4wsis_tpu.models import make_model
+        return make_model
+    if name == "tasks":
+        from cl4wsis_tpu.cl import tasks
+        return tasks
+    raise AttributeError(name)
