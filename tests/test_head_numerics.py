@@ -152,3 +152,74 @@ def test_incremental_classifier_matches_torch_conv():
                          for c in convs], dim=1)
     np.testing.assert_allclose(np.asarray(ours),
                                ref.permute(0, 2, 3, 1).numpy(), atol=1e-5)
+
+
+class _TorchBottleneck(nn.Module):
+    """Transcription of modules/residual.py:7-98 (post-act bottleneck)."""
+
+    def __init__(self, cin, channels, stride=1, dilation=1):
+        super().__init__()
+        c0, c1, c2 = channels
+        self.conv1 = nn.Conv2d(cin, c0, 1, bias=False)
+        self.bn1 = _ABN(c0)
+        self.conv2 = nn.Conv2d(c0, c1, 3, stride=stride, padding=dilation,
+                               dilation=dilation, bias=False)
+        self.bn2 = _ABN(c1)
+        self.conv3 = nn.Conv2d(c1, c2, 1, bias=False)
+        self.bn3 = _ABN(c2, activation="identity")
+        self.need_proj = stride != 1 or cin != c2
+        if self.need_proj:
+            self.proj_conv = nn.Conv2d(cin, c2, 1, stride=stride, bias=False)
+            self.proj_bn = _ABN(c2, activation="identity")
+
+    def forward(self, x):
+        r = self.proj_bn(self.proj_conv(x)) if self.need_proj else x
+        y = self.bn3(self.conv3(self.bn2(self.conv2(self.bn1(self.conv1(x))))))
+        return F.leaky_relu(y + r, 0.01)
+
+
+@pytest.mark.parametrize("stride,dilation", [(1, 1), (2, 1), (1, 2)])
+def test_resnet_bottleneck_matches_torch(stride, dilation):
+    from cl4wsis_tpu.models.resnet import Bottleneck
+    import flax
+
+    torch.manual_seed(3)
+    cin, channels = 8, (4, 4, 16)
+    tb = _TorchBottleneck(cin, channels, stride=stride, dilation=dilation)
+    with torch.no_grad():
+        for m in tb.modules():
+            if isinstance(m, nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.3)
+                m.running_var.uniform_(0.5, 2.0)
+                m.weight.uniform_(0.5, 1.5)
+                m.bias.normal_(0, 0.3)
+    tb.eval()
+
+    fb = Bottleneck(channels=channels, stride=stride, dilation=dilation)
+    x = np.random.RandomState(4).randn(1, 10, 10, cin).astype(np.float32)
+    v = fb.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    p = flax.core.unfreeze(v["params"])
+    s = flax.core.unfreeze(v["batch_stats"])
+
+    def t4(w):
+        return jnp.asarray(w.detach().numpy().transpose(2, 3, 1, 0))
+
+    def put_bn(name, abn):
+        p[name]["scale"] = jnp.asarray(abn.bn.weight.detach().numpy())
+        p[name]["bias"] = jnp.asarray(abn.bn.bias.detach().numpy())
+        s[name]["mean"] = jnp.asarray(abn.bn.running_mean.numpy())
+        s[name]["var"] = jnp.asarray(abn.bn.running_var.numpy())
+
+    for c in ("conv1", "conv2", "conv3"):
+        p[c]["kernel"] = t4(getattr(tb, c).weight)
+    for b in ("bn1", "bn2", "bn3"):
+        put_bn(b, getattr(tb, b))
+    if tb.need_proj:
+        p["proj_conv"]["kernel"] = t4(tb.proj_conv.weight)
+        put_bn("proj_bn", tb.proj_bn)
+
+    ours = fb.apply({"params": p, "batch_stats": s}, jnp.asarray(x), train=False)
+    with torch.no_grad():
+        ref = tb(torch.from_numpy(x).permute(0, 3, 1, 2))
+    np.testing.assert_allclose(np.asarray(ours),
+                               ref.permute(0, 2, 3, 1).numpy(), atol=2e-4)
