@@ -74,6 +74,10 @@ def assign_pixels(ctr_y: jnp.ndarray, ctr_x: jnp.ndarray, ctr_valid: jnp.ndarray
     ctr_*: (S,) slot arrays; offsets (H,W,2) (y,x); pixel_root (H,W).
     Returns (H, W) int32 slot index, or S (no center available / background).
     """
+    from cl4wsis_tpu.ops import pallas_assign
+    if pallas_assign.available():
+        return pallas_assign.assign_pixels_pallas(
+            ctr_y, ctr_x, ctr_valid, ctr_root, offsets, pixel_root)
     S = ctr_y.shape[0]
     pad = (-S) % chunk
     if pad:
