@@ -27,10 +27,14 @@ from cl4wsis_tpu.ops.resize import resize_bilinear
 def make_eval_forward(model, variables, num_classes: int, val_flip: bool = False,
                       val_thresh: float = 0.1, val_kernel: int = 41,
                       beta: float = 3.0) -> Callable:
-    """Jitted: image (1,H,W,3) -> instance slots at `target_size`."""
+    """Jitted: image (1,H,W,3) -> instance slots at `target_size`.
+
+    `variables` is passed as a jit argument (NOT closed over) so the params
+    stay device buffers instead of being baked into the program as
+    constants."""
 
     @partial(jax.jit, static_argnames=("target_size",))
-    def forward(image, target_size):
+    def forward(variables, image, target_size):
         imgs = jnp.concatenate([image, jnp.flip(image, axis=2)], axis=0) \
             if val_flip else image
         pred, _ = model.apply(variables, imgs, train=False, interpolate=False)
@@ -52,7 +56,10 @@ def make_eval_forward(model, variables, num_classes: int, val_flip: bool = False
                            val_thresh=val_thresh, val_kernel=val_kernel,
                            beta=beta)
 
-    return forward
+    def fwd(image, target_size):
+        return forward(variables, image, target_size)
+
+    return fwd
 
 
 def validate_instances(forward: Callable,
