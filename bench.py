@@ -59,11 +59,13 @@ def bench_step0(batch_size: int = 16, size: int = 512, steps: int = 20):
 
 
 def main():
-    try:
-        from cl4wsis_tpu.train.phase2 import bench_phase2  # noqa: F401
-        img_s, tag = bench_phase2()
-    except ImportError:
+    import os
+    which = os.environ.get("CL4WSIS_BENCH", "phase2")
+    if which == "step0":
         img_s, tag = bench_step0()
+    else:
+        from cl4wsis_tpu.train.phase2 import bench_phase2
+        img_s, tag = bench_phase2()
     print(json.dumps({
         "metric": f"images/sec/chip ({tag} train, VOC-15-5-shaped, 512^2 bf16)",
         "value": round(img_s, 2),

@@ -15,8 +15,7 @@ import numpy as np
 from PIL import Image
 
 from cl4wsis_tpu.data.cocojson import CocoJson
-from cl4wsis_tpu.data.transforms import (Compose, normalize_image,
-                                         train_transform, val_transform)
+from cl4wsis_tpu.data.transforms import train_transform, val_transform
 from cl4wsis_tpu.data.voc import IncrementalInstanceDataset, _has_valid_annotation
 
 # categories absent from COCO's 91-id space (reference dataset/coco.py:8)

@@ -14,7 +14,7 @@ module with relu activation (identical math).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Sequence
+from typing import Any, Dict, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
