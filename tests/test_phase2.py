@@ -75,3 +75,19 @@ def test_phase2_step_runs_and_freezes_body():
     np.testing.assert_array_equal(
         np.asarray(state.batch_stats["model"]["body"]["mod1_bn1"]["mean"]),
         np.zeros(64, np.float32))
+
+
+def test_phase2_no_refine_variant():
+    """--run_refine false: pseudo labels only, no self-refinement pass."""
+    model, model_old, pl_mod, pg_mod, tx, state, ov, aux = _setup()
+    mesh = create_mesh()
+    state = replicate(state, mesh)
+    ov, aux = replicate(ov, mesh), replicate(aux, mesh)
+    b = next(synthetic_batches(8, 64, n_classes=TOT - 1, seed=1, n_batches=1))
+    batch = shard_batch({"image": jnp.asarray(b["image"]),
+                         "l1h": jnp.asarray(b["l1h"][:, 1:])}, mesh)
+    step = make_phase2_train_step(model, model_old, pl_mod, pg_mod, tx,
+                                  old_classes=OLD, nms_kernel=15,
+                                  max_peaks=8, cc_iters=8, run_refine=False)
+    state, metrics = step(state, batch, ov, aux, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"])), metrics
