@@ -9,8 +9,10 @@ fixed-iteration label-propagation kernel:
 * each round takes the min over the 4/8-neighborhood (within the mask),
   then applies two pointer-jumping steps ``l = min(l, l[l])`` which give
   near-logarithmic convergence even for snake-shaped components;
-* after `num_iters` rounds the label of each pixel is its component root
-  (the smallest flat index in the component).
+* iteration runs to FIXPOINT (change detection) under the `num_iters`
+  hard cap, so the label of each pixel is exactly its component root (the
+  smallest flat index in the component) — even for maze-like masks whose
+  geodesics are much longer than any fixed round count.
 
 Stats (area, centroid sums, peak counts, ...) are then per-root
 ``segment_sum``s over HW buckets — no host round-trip, no dynamic shapes.
@@ -61,7 +63,7 @@ def _segmented_cummin(lab: jnp.ndarray, mask: jnp.ndarray, axis: int,
 
 @partial(jax.jit, static_argnames=("connectivity", "num_iters"))
 def connected_components(mask: jnp.ndarray, connectivity: int = 8,
-                         num_iters: int = 16) -> jnp.ndarray:
+                         num_iters: int = 128) -> jnp.ndarray:
     """Label a binary mask (H, W) -> root map (H, W) int32.
 
     Foreground pixels get the flat index of their component's root;
@@ -69,17 +71,23 @@ def connected_components(mask: jnp.ndarray, connectivity: int = 8,
 
     Each iteration: 8/4-neighbor min, segmented row+column cummin sweeps
     (both directions), and two pointer-jumping hops. Runs propagate whole
-    rows/columns per iteration, so even serpentine components converge in a
-    handful of iterations.
+    rows/columns per iteration, so natural masks converge in a handful of
+    iterations; `num_iters` only caps the fixpoint loop.
     """
     H, W = mask.shape
     mask = mask.astype(bool)
+    if connectivity == 8:
+        from cl4wsis_tpu.ops import pallas_cc
+        if pallas_cc.available():
+            # fixpoint kernel: num_iters here is only the safety cap
+            return pallas_cc.connected_components_pallas(
+                mask, num_iters=max(256, 8 * num_iters))
     big = jnp.iinfo(jnp.int32).max
     idx = (jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) * W +
            jax.lax.broadcasted_iota(jnp.int32, (H, W), 1))
     lab = jnp.where(mask, idx, big)
 
-    def body(lab, _):
+    def sweep(lab):
         lab = _neighbor_min(lab, mask, connectivity)
         lab = _segmented_cummin(lab, mask, axis=1, reverse=False)
         lab = _segmented_cummin(lab, mask, axis=1, reverse=True)
@@ -91,9 +99,18 @@ def connected_components(mask: jnp.ndarray, connectivity: int = 8,
         hop = jnp.where(flat == big, big, jnp.minimum(flat, flat[safe]))
         safe2 = jnp.where(hop == big, 0, hop)
         hop2 = jnp.where(hop == big, big, jnp.minimum(hop, flat[safe2]))
-        return hop2.reshape(H, W), None
+        return hop2.reshape(H, W)
 
-    lab, _ = jax.lax.scan(body, lab, None, length=num_iters)
+    def cond(state):
+        it, _, changed = state
+        return jnp.logical_and(changed, it < num_iters)
+
+    def body(state):
+        it, lab, _ = state
+        new = sweep(lab)
+        return it + 1, new, jnp.any(new != lab)
+
+    _, lab, _ = jax.lax.while_loop(cond, body, (0, lab, True))
     return jnp.where(mask, lab, H * W).astype(jnp.int32)
 
 

@@ -1,0 +1,181 @@
+"""Pallas kernel for connected-components label propagation.
+
+The XLA fallback (ops/cc.py) runs each propagation round as a chain of
+associative scans and neighbor mins with HBM-resident intermediates; at
+512^2 this is the biggest VPU consumer in the phase-2 label factory. This
+kernel keeps the whole label plane in VMEM (1MB at 512^2 int32) and runs
+every iteration in-register:
+
+* 8-neighbor min via pltpu.roll + edge masking;
+* segmented row/column cummin (both directions) via Hillis-Steele doubling
+  with blocked-prefix flags (log2(W) steps, rolls only — no gathers);
+* no pointer jumping (gathers are the one op Mosaic can't do cheaply here);
+  instead the kernel iterates to FIXPOINT (change detection) under a hard
+  cap, which makes the result exact regardless of component tortuosity.
+
+A vmap over a leading batch axis lowers to a kernel grid over that axis so
+only one plane lives in VMEM at a time (a naive vmap would block the whole
+batch and blow the 16MB budget).
+
+Exact-equivalence with ops/cc.py and cv2 is tested on hardware; enabled via
+CL4WSIS_PALLAS_CC=1 (same A/B philosophy as the other kernels).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+ENABLED = os.environ.get("CL4WSIS_PALLAS_CC", "0") == "1"
+_BIG = 2 ** 30  # python int: jnp scalars would be captured consts in pallas
+
+
+def available() -> bool:
+    try:
+        return ENABLED and _HAS_PALLAS and jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _row_ids(H, W):
+    return jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+
+
+def _col_ids(H, W):
+    return jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+
+
+def _shift(x, dy, dx, fill):
+    """Value of x at (i+dy, j+dx) with `fill` outside (roll + edge mask).
+
+    pltpu.roll only takes non-negative shifts; a shift of -s along an axis
+    of size n is a roll by n - s."""
+    H, W = x.shape
+    y = x
+    if dy:
+        y = pltpu.roll(y, (-dy) % H, 0)
+        rid = _row_ids(H, W)
+        ok = (rid + dy >= 0) & (rid + dy < H)
+        y = jnp.where(ok, y, fill)
+    if dx:
+        y = pltpu.roll(y, (-dx) % W, 1)
+        cid = _col_ids(H, W)
+        ok = (cid + dx >= 0) & (cid + dx < W)
+        y = jnp.where(ok, y, fill)
+    return y
+
+
+def _seg_cummin(lab, bg, axis, reverse):
+    """Segmented running min along `axis` (Hillis-Steele doubling)."""
+    l = jnp.where(bg, _BIG, lab)
+    g = bg
+    size = lab.shape[axis]
+    s = 1
+    while s < size:
+        d = s if reverse else -s
+        if axis == 0:
+            l_s = _shift(l, d, 0, _BIG)
+            g_num = _shift(g.astype(jnp.int32), d, 0, 1)
+        else:
+            l_s = _shift(l, 0, d, _BIG)
+            g_num = _shift(g.astype(jnp.int32), 0, d, 1)
+        g_s = g_num > 0
+        l = jnp.where(g, l, jnp.minimum(l, l_s))
+        g = g | g_s
+        s *= 2
+    return jnp.where(bg, _BIG, jnp.minimum(lab, l))
+
+
+def _cc_compute(mask, num_iters, H, W):
+    bg = jnp.logical_not(mask)
+    idx = _row_ids(H, W) * W + _col_ids(H, W)
+    lab0 = jnp.where(mask, idx, _BIG)
+
+    def sweep(lab):
+        m = lab
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                m = jnp.minimum(m, _shift(lab, dy, dx, _BIG))
+        lab = jnp.where(mask, jnp.minimum(lab, m), _BIG)
+        lab = _seg_cummin(lab, bg, 1, False)
+        lab = _seg_cummin(lab, bg, 1, True)
+        lab = _seg_cummin(lab, bg, 0, False)
+        lab = _seg_cummin(lab, bg, 0, True)
+        return lab
+
+    def cond(state):
+        it, _, changed = state
+        return jnp.logical_and(changed, it < num_iters)
+
+    def body(state):
+        it, lab, _ = state
+        new = sweep(lab)
+        return it + 1, new, jnp.any(new != lab)
+
+    _, lab, _ = jax.lax.while_loop(cond, body, (0, lab0, True))
+    return jnp.where(mask, lab, H * W).astype(jnp.int32)
+
+
+def _call_single(mask, num_iters):
+    H, W = mask.shape
+
+    def kernel(mask_ref, out_ref):
+        out_ref[:] = _cc_compute(mask_ref[:] > 0, num_iters, H, W)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((H, W), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(mask.astype(jnp.int32))
+
+
+def _call_batched(masks, num_iters):
+    N, H, W = masks.shape
+
+    def kernel(mask_ref, out_ref):
+        out_ref[0] = _cc_compute(mask_ref[0] > 0, num_iters, H, W)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((N, H, W), jnp.int32),
+        grid=(N,),
+        in_specs=[pl.BlockSpec((1, H, W), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, H, W), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(masks.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("num_iters",))
+def connected_components_pallas(mask: jnp.ndarray, num_iters: int = 256
+                                ) -> jnp.ndarray:
+    """(H, W) bool/int mask -> (H, W) int32 root map (bg = H*W).
+
+    `num_iters` is only the safety cap; the kernel exits at fixpoint."""
+
+    fn = jax.custom_batching.custom_vmap(
+        lambda m: _call_single(m, num_iters))
+
+    @fn.def_vmap
+    def _vmap_rule(axis_size, in_batched, m):
+        assert in_batched[0]
+        return _call_batched(m, num_iters), True
+
+    return fn(mask)

@@ -207,3 +207,16 @@ def test_pseudo_label_generation_first_class_equivalent():
         num_classes=C, sigma=3, max_comp=4, first_class=2)
     for a, b in zip(full, skip):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_cc_adversarial_percolation_fixpoint():
+    """Dense random masks produce maze-like components whose geodesics
+    exceed any small fixed iteration count; the fixpoint loop must still
+    give the exact cv2 partition (regression: a fixed 16 rounds silently
+    under-converged here)."""
+    rs = np.random.RandomState(0)
+    mask = (rs.rand(64, 128) > 0.6).astype(np.uint8)
+    ours = np.asarray(connected_components(jnp.asarray(mask), 8))
+    n, ref = cv2.connectedComponents(mask, connectivity=8)
+    fg = mask.astype(bool)
+    np.testing.assert_array_equal(_canon(ours[fg]), _canon(ref[fg]))

@@ -24,3 +24,14 @@ def test_pallas_assign_matches_scan():
     got = np.asarray(pa.assign_pixels_pallas(cy, cx, cv, cr, offsets, roots))
     want = np.asarray(assign_pixels(cy, cx, cv, cr, offsets, roots))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu", reason="TPU-only kernel")
+def test_pallas_cc_matches_fallback():
+    import cl4wsis_tpu.ops.pallas_cc as pcc
+    from cl4wsis_tpu.ops.cc import connected_components
+    rs = np.random.RandomState(0)
+    m = rs.rand(128, 128) > 0.45
+    got = np.asarray(pcc.connected_components_pallas(jnp.asarray(m)))
+    want = np.asarray(connected_components(jnp.asarray(m), 8))
+    np.testing.assert_array_equal(got, want)
