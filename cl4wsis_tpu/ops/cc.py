@@ -71,8 +71,9 @@ def connected_components(mask: jnp.ndarray, connectivity: int = 8,
 
     Each iteration: 8/4-neighbor min, segmented row+column cummin sweeps
     (both directions), and two pointer-jumping hops. Runs propagate whole
-    rows/columns per iteration, so natural masks converge in a handful of
-    iterations; `num_iters` only caps the fixpoint loop.
+    rows/columns per iteration, so natural masks converge (and exit) in a
+    handful of iterations; `num_iters` only caps the fixpoint loop, so
+    callers should leave it generous — early exit makes high caps free.
     """
     H, W = mask.shape
     mask = mask.astype(bool)

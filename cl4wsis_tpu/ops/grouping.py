@@ -47,7 +47,7 @@ def find_instance_centers(ctr_hmp: jnp.ndarray, threshold: float = 0.1,
 
 
 def cluster_peaks(offsets: jnp.ndarray, fg: jnp.ndarray, thresh: float = 2.5,
-                  beta: int = 5, max_peaks: int = 8, cc_iters: int = 8
+                  beta: int = 5, max_peaks: int = 8, cc_iters: int = 64
                   ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Offset-magnitude cluster centers (``modules/utils.py:608-632``):
     4-connected components of {|offset| < thresh} ∩ fg whose area lies in

@@ -33,7 +33,7 @@ def get_ins_map(seg_prob: jnp.ndarray, center_map: jnp.ndarray,
                 offset_map: jnp.ndarray, *, num_classes: int,
                 val_thresh: float = 0.1, val_kernel: int = 41,
                 beta: float = 3.0, max_ctr: int = 16, max_cluster: int = 8,
-                cc_iters: int = 12) -> Dict[str, jnp.ndarray]:
+                cc_iters: int = 64) -> Dict[str, jnp.ndarray]:
     """One sample (eval batch size is 1 in the reference protocol).
 
     Args:

@@ -37,7 +37,7 @@ def pseudo_label_generation(seg_map: jnp.ndarray,
                             peak_valid: jnp.ndarray,
                             cls_label: jnp.ndarray,
                             num_classes: int, sigma: int = 6,
-                            max_comp: int = 32, cc_iters: int = 16,
+                            max_comp: int = 32, cc_iters: int = 64,
                             first_class: int = 0
                             ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One sample.

@@ -42,7 +42,7 @@ def refine_label_generation(seg_probs: jnp.ndarray, center_map: jnp.ndarray,
                             sigma: int = 6, refine_thresh: float = 0.3,
                             nms_kernel: int = 41, beta: float = 3.0,
                             max_ctr: int = 16, max_cluster: int = 8,
-                            cc_iters: int = 8,
+                            cc_iters: int = 64,
                             first_class: int = 0) -> Dict[str, jnp.ndarray]:
     """One sample.
 

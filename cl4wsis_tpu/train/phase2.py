@@ -48,7 +48,7 @@ def make_phase2_train_step(model, model_old, pseudolabeler, peakgenerator,
                            beta: float = 3.0,
                            run_refine: bool = True,
                            max_peaks: int = 25,
-                           cc_iters: int = 8) -> Callable:
+                           cc_iters: int = 64) -> Callable:
     """Build the phase-2 step.
 
     params tree: {"model": ...}; pseudolabeler/peakgenerator variables ride
