@@ -258,8 +258,18 @@ class Trainer:
 
     def load_resume(self, path: str) -> int:
         blob = load_checkpoint(path)
-        self.state = replicate(
-            jax.tree_util.tree_map(jnp.asarray, blob["state"]), self.mesh)
+        # orbax restores plain dicts; rebuild the TrainState struct. The
+        # optimizer state is restored by-structure into the freshly-built
+        # opt state (tuple structure is lost in serialization).
+        s = blob["state"]
+        opt_state = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(self.state.opt_state),
+            jax.tree_util.tree_leaves(s["opt_state"]))
+        state = TrainState(step=jnp.asarray(s["step"]),
+                           params=s["params"],
+                           batch_stats=s["batch_stats"],
+                           opt_state=opt_state)
+        self.state = replicate(state, self.mesh)
         if blob.get("aux_vars"):
             self.aux_vars = replicate(blob["aux_vars"], self.mesh)
         return int(blob["epoch"]) + 1
