@@ -38,3 +38,18 @@ def test_cli_voc_step0_with_validation(tmp_path):
                "--loss_de", "1", "--step_ckpt", step0,
                "--pretrained", "false"])
     assert rc == 0
+
+
+@pytest.mark.slow
+def test_cli_alternative_norm(tmp_path):
+    """--norm_act abr trains through the full CLI (custom_bn parity path)."""
+    _write_fake_voc(str(tmp_path), n_images=16, size=48)
+    rc = main(["--data_root", str(tmp_path), "--dataset", "voc",
+               "--task", "15-5", "--step", "0", "--name", "abr",
+               "--tiny", "true", "--epochs", "1", "--batch_size", "8",
+               "--crop_size", "48", "--crop_size_val", "48",
+               "--checkpoint", str(tmp_path / "ck"), "--dtype", "float32",
+               "--bce", "true", "--optim", "adam", "--lr", "5e-5",
+               "--kernel", "15", "--val_kernel", "15",
+               "--norm_act", "abr", "--pretrained", "false"])
+    assert rc == 0
