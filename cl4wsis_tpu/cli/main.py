@@ -173,7 +173,9 @@ def main(argv: Optional[list] = None) -> int:
             logger.info(f"[{tag}] mAP@[.5:.95]={res['map']:.4f} "
                         f"mAP@.5={res['map50']:.4f}")
 
-    for epoch in range(start_epoch, cfg.epochs):
+    # --test: skip training, evaluate the loaded checkpoint (run.py:114)
+    train_epochs = range(start_epoch, 0 if cfg.test else cfg.epochs)
+    for epoch in train_epochs:
         metrics = trainer.train_epoch(epoch, loader.epoch(epoch))
         loss = metrics.get("loss", float("nan"))
         assert np.isfinite(loss), f"loss diverged: {metrics}"

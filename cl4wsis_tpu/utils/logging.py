@@ -57,6 +57,25 @@ class Logger:
         if self.is_main:
             self._write({"type": "results", **_jsonable(results)})
 
+    def add_image(self, tag: str, image, step: Optional[int] = None):
+        """Save a (H, W, 3) uint8/float image under the log dir
+        (the reference pushes sample images to wandb; here they land on
+        disk and in wandb when available)."""
+        if not self.is_main:
+            return
+        import numpy as np
+        from PIL import Image as PILImage
+        arr = np.asarray(image)
+        if arr.dtype != np.uint8:
+            arr = (np.clip(arr, 0, 1) * 255).astype(np.uint8)
+        d = os.path.join(self.logdir, "images")
+        os.makedirs(d, exist_ok=True)
+        name = f"{tag.replace('/', '_')}_{step if step is not None else 0}.png"
+        PILImage.fromarray(arr).save(os.path.join(d, name))
+        if self._wandb is not None:  # pragma: no cover
+            import wandb
+            self._wandb.log({tag: wandb.Image(arr)})
+
     def commit(self, intermediate: bool = False):
         buf = self._inter_buf if intermediate else self._epoch_buf
         if buf and self.is_main:

@@ -53,3 +53,21 @@ def test_cli_alternative_norm(tmp_path):
                "--kernel", "15", "--val_kernel", "15",
                "--norm_act", "abr", "--pretrained", "false"])
     assert rc == 0
+
+
+@pytest.mark.slow
+def test_cli_test_only_mode(tmp_path):
+    """--test true: no training, evaluate the resumed checkpoint."""
+    _write_fake_voc(str(tmp_path), n_images=16, size=48)
+    ckpt = str(tmp_path / "ck")
+    common = ["--data_root", str(tmp_path), "--dataset", "voc",
+              "--task", "15-5", "--step", "0", "--name", "t",
+              "--tiny", "true", "--batch_size", "8",
+              "--crop_size", "48", "--crop_size_val", "48",
+              "--checkpoint", ckpt, "--dtype", "float32",
+              "--bce", "true", "--optim", "adam", "--lr", "5e-5",
+              "--kernel", "15", "--val_kernel", "15",
+              "--pretrained", "false"]
+    assert main(common + ["--epochs", "1"]) == 0
+    assert main(common + ["--epochs", "1", "--test", "true",
+                          "--continue_ckpt", "true"]) == 0

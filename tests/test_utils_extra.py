@@ -42,3 +42,12 @@ def test_denorm_onehot():
     np.testing.assert_allclose(d[0, 0], [0.485, 0.456, 0.406], atol=1e-6)
     oh = label_to_one_hot(np.array([0, 2]), 3)
     np.testing.assert_array_equal(oh, [[1, 0, 0], [0, 0, 1]])
+
+
+def test_logger_add_image(tmp_path):
+    import os
+    from cl4wsis_tpu.utils.logging import Logger
+    lg = Logger(str(tmp_path), rank=0, name="t")
+    lg.add_image("val/sample", np.random.rand(8, 8, 3), step=3)
+    assert os.path.exists(str(tmp_path / "images" / "val_sample_3.png"))
+    lg.close()
