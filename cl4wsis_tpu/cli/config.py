@@ -108,6 +108,7 @@ class Config:
     seg_ckpt: Optional[str] = None
     debug: bool = False
     profile_dir: Optional[str] = None  # jax.profiler trace output dir
+    sample_num: int = 0                # save N sample visualizations per val
 
     # derived in finalize()
     branch: str = "ins"

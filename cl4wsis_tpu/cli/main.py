@@ -167,6 +167,22 @@ def main(argv: Optional[list] = None) -> int:
                                     val_flip=cfg.val_flip,
                                     val_thresh=cfg.val_thresh,
                                     val_kernel=cfg.val_kernel, beta=cfg.beta)
+            if cfg.sample_num > 0:
+                # save sample prediction visualizations (reference
+                # --sample_num wandb images)
+                import jax.numpy as jnp
+                from cl4wsis_tpu.utils.visualize import (Label2Color, denorm,
+                                                         voc_cmap)
+                l2c = Label2Color(voc_cmap())
+                for i in range(min(cfg.sample_num, len(val))):
+                    s = val[i]
+                    out = fwd(jnp.asarray(s["image"]), s["gt_masks"].shape[1:])
+                    ins = np.asarray(out["ins_map"])
+                    img = np.clip(denorm(s["image"][0]), 0, 1)
+                    vis = np.concatenate(
+                        [(img * 255).astype(np.uint8),
+                         l2c(ins % 255 + 1) * (ins >= 0)[..., None]], axis=1)
+                    logger.add_image(f"{tag}/sample", vis.astype(np.uint8), i)
             res = validate_instances(fwd, eval_samples(val))
             logger.add_results({"map": res["map"], "map50": res["map50"],
                                 "ap": res["ap"].tolist()})

@@ -71,3 +71,20 @@ def test_cli_test_only_mode(tmp_path):
     assert main(common + ["--epochs", "1"]) == 0
     assert main(common + ["--epochs", "1", "--test", "true",
                           "--continue_ckpt", "true"]) == 0
+
+
+@pytest.mark.slow
+def test_cli_sample_visualization(tmp_path):
+    _write_fake_voc(str(tmp_path), n_images=16, size=48)
+    ckpt = str(tmp_path / "ck")
+    rc = main(["--data_root", str(tmp_path), "--dataset", "voc",
+               "--task", "15-5", "--step", "0", "--name", "v",
+               "--tiny", "true", "--epochs", "1", "--batch_size", "8",
+               "--crop_size", "48", "--crop_size_val", "48",
+               "--checkpoint", ckpt, "--dtype", "float32",
+               "--bce", "true", "--optim", "adam", "--lr", "5e-5",
+               "--kernel", "15", "--val_kernel", "15",
+               "--sample_num", "2", "--pretrained", "false"])
+    assert rc == 0
+    import glob
+    assert glob.glob(os.path.join(ckpt, "logs", "images", "*.png"))
