@@ -32,6 +32,7 @@ class Config:
     num_workers: int = 4            # grain worker processes
 
     # model
+    model: str = "PanopticDeepLab"  # PanopticDeepLab | DeeplabV3 (semantic-only)
     backbone: str = "resnet101"
     output_stride: int = 16
     norm_act: str = "iabn_sync"
@@ -133,7 +134,7 @@ class Config:
             cfg.output_stride = 8
             cfg.crop_size = 448
             cfg.crop_size_val = 512
-        cfg.branch = "ins"
+        cfg.branch = "none" if cfg.model == "DeeplabV3" else "ins"
         if cfg.phase == 1:
             cfg.branch = "none"
             cfg.flac = True

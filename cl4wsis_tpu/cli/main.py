@@ -131,6 +131,30 @@ def main(argv: Optional[list] = None) -> int:
     def run_validation(tag: str):
         if val is None:
             return
+        if cfg.model == "DeeplabV3" and cfg.phase != 1:
+            # semantic-only model: mIoU on the model's own seg output
+            import jax.numpy as jnp
+            from cl4wsis_tpu.data.loader import eval_samples
+            from cl4wsis_tpu.ops.resize import resize_bilinear
+            from cl4wsis_tpu.train.eval import validate_semseg
+
+            mv = trainer.model_variables()
+
+            @jax.jit
+            def classify_seg(image):
+                pred, _ = trainer.model.apply(
+                    mv, image, train=False, interpolate=False,
+                    method=trainer.model.forward_seg)
+                seg = resize_bilinear(pred["seg"], image.shape[1:3],
+                                      align_corners=False)
+                return jax.nn.softmax(seg.astype(jnp.float32), axis=-1)
+
+            res = validate_semseg(classify_seg, eval_samples(val),
+                                  trainer.tot_classes)
+            logger.add_results(res)
+            logger.info(f"[{tag}] MeanIoU={res['Mean IoU']:.4f} "
+                        f"MeanAcc={res['Mean Acc']:.4f}")
+            return
         if cfg.phase == 1:
             # CAM semantic mIoU via the pseudolabeler
             # (run.py:144-150, train.py:695-745)

@@ -53,9 +53,10 @@ def make_step0_train_step(model, tx: optax.GradientTransformation,
         pred = {k: resize_bilinear(v, size, align_corners=False)
                 for k, v in pred.items()}
 
-        center, offset, weight = batched_label_generation(
-            batch["seg"], batch["inst"], num_classes=n_things,
-            sigma=sigma, max_inst=max_inst)
+        if model.has_instance:
+            center, offset, weight = batched_label_generation(
+                batch["seg"], batch["inst"], num_classes=n_things,
+                sigma=sigma, max_inst=max_inst)
 
         if seg_loss == "bce":
             l_seg = jnp.mean(losses.bce_with_logits_ignore(pred["seg"], batch["seg"]))
@@ -63,8 +64,12 @@ def make_step0_train_step(model, tx: optax.GradientTransformation,
             l_seg = losses.deeplab_ce(pred["seg"], batch["seg"])
         else:
             raise ValueError(seg_loss)
-        l_center = losses.weighted_mse(pred["center"], center, weight) * CENTER_LOSS_WEIGHT
-        l_offset = losses.weighted_l1(pred["offset"], offset, weight) * OFFSET_LOSS_WEIGHT
+        if model.has_instance:
+            l_center = losses.weighted_mse(pred["center"], center, weight) * CENTER_LOSS_WEIGHT
+            l_offset = losses.weighted_l1(pred["offset"], offset, weight) * OFFSET_LOSS_WEIGHT
+        else:  # --model DeeplabV3: semantic-only CL (no instance branch)
+            l_center = 0.0
+            l_offset = 0.0
         loss = l_seg + l_center + l_offset
         metrics = {"loss": loss, "l_seg": l_seg, "l_center": l_center,
                    "l_offset": l_offset}

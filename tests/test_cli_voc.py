@@ -88,3 +88,17 @@ def test_cli_sample_visualization(tmp_path):
     assert rc == 0
     import glob
     assert glob.glob(os.path.join(ckpt, "logs", "images", "*.png"))
+
+
+@pytest.mark.slow
+def test_cli_deeplabv3_semantic_only(tmp_path):
+    """--model DeeplabV3: semantic-only CL (no instance branch), mIoU val."""
+    _write_fake_voc(str(tmp_path), n_images=16, size=48)
+    rc = main(["--data_root", str(tmp_path), "--dataset", "voc",
+               "--task", "15-5", "--step", "0", "--name", "dl",
+               "--model", "DeeplabV3", "--tiny", "true", "--epochs", "1",
+               "--batch_size", "8", "--crop_size", "48",
+               "--crop_size_val", "48", "--checkpoint", str(tmp_path / "ck"),
+               "--dtype", "float32", "--bce", "true", "--optim", "adam",
+               "--lr", "5e-5", "--pretrained", "false"])
+    assert rc == 0
