@@ -51,7 +51,8 @@ def build_data(cfg: Config):
                                        cfg.crop_size, cfg.crop_size_val,
                                        overlap=cfg.overlap,
                                        masking=not cfg.no_mask,
-                                       pseudo=cfg.pseudo)
+                                       pseudo=cfg.pseudo,
+                                       val_on_trainset=cfg.val_on_trainset)
     elif cfg.dataset == "coco-voc" and cfg.step > 0:
         # step 1 of coco-voc: VOC images, labels in the COCO id space
         # (reference VOCasCOCOSegmentationIncremental)

@@ -224,9 +224,11 @@ def make_voc_datasets(data_root: str, step_dict: Dict[int, List[int]],
                       step: int, crop_size: int = 512,
                       crop_size_val: Optional[int] = 512,
                       overlap: bool = True, masking: bool = True,
-                      as_coco: bool = False, pseudo: Optional[str] = None):
+                      as_coco: bool = False, pseudo: Optional[str] = None,
+                      val_on_trainset: bool = False):
     """Factory mirroring reference ``dataset/__init__.py:9-72`` for VOC
-    (and coco-voc step 1 with as_coco=True)."""
+    (and coco-voc step 1 with as_coco=True). `val_on_trainset` evaluates on
+    the train split (reference test_on_train protocol)."""
     labels, labels_old = (list(step_dict[step]),
                           [lb for s in range(step) for lb in step_dict[s]])
     new_classes = [c for c in labels if c != 0]
@@ -235,8 +237,9 @@ def make_voc_datasets(data_root: str, step_dict: Dict[int, List[int]],
         data_root, os.path.join(data_root, "voc", "pascal_sbd_train.json"),
         old_classes, new_classes, is_train=True, overlap=overlap,
         masking=masking, as_coco=as_coco, pseudo=pseudo)
+    val_json = "pascal_sbd_train.json" if val_on_trainset else "pascal_sbd_val.json"
     val_raw = VOCInstanceSegmentation(
-        data_root, os.path.join(data_root, "voc", "pascal_sbd_val.json"),
+        data_root, os.path.join(data_root, "voc", val_json),
         old_classes, new_classes, is_train=False, overlap=overlap,
         masking=False, as_coco=as_coco)
     train = IncrementalInstanceDataset(

@@ -40,6 +40,9 @@ class Trainer:
         self.tot_classes = sum(self.classes)
         self.old_classes = self.tot_classes - self.classes[-1]
         self.weakly = cfg.weakly and cfg.step > 0
+        # --pseudo: dataset supplies precomputed instance labels; training is
+        # the supervised (step-0 style) step, no pseudolabeler machinery
+        self.supervised_pseudo = self.weakly and cfg.pseudo is not None
 
         mk = dict(backbone=cfg.backbone, output_stride=cfg.output_stride,
                   crop_size=cfg.crop_size, branch=cfg.branch, dtype=self.dtype,
@@ -155,6 +158,11 @@ class Trainer:
 
     def _get_step(self, epoch: int):
         cfg = self.cfg
+        if self.supervised_pseudo:
+            if "p0" not in self._train_steps:
+                self._train_steps["p0"] = make_step0_train_step(
+                    self.model, self.tx, seg_loss="bce", sigma=cfg.sigma)
+            return self._train_steps["p0"]
         if cfg.phase == 1:
             key = ("p1", epoch >= cfg.pseudo_ep)
             if key not in self._train_steps:
@@ -190,6 +198,7 @@ class Trainer:
     def train_epoch(self, epoch: int, batches) -> Dict[str, float]:
         cfg = self.cfg
         step_fn = self._get_step(epoch)
+        phase = None if self.supervised_pseudo else cfg.phase
         rng = jax.random.PRNGKey(cfg.seed + epoch)
         agg: Dict[str, float] = {}
         n = 0
@@ -203,9 +212,9 @@ class Trainer:
             batch = self._device_batch(batch_np)
             if timer is not None:
                 timer.start_step(i)
-            if cfg.phase == 1:
+            if phase == 1:
                 self.state, metrics = step_fn(self.state, batch, self.old_vars, sub)
-            elif cfg.phase == 2:
+            elif phase == 2:
                 self.state, metrics = step_fn(self.state, batch, self.old_vars,
                                               self.aux_vars, sub)
             else:
@@ -229,7 +238,7 @@ class Trainer:
     def _device_batch(self, batch_np: Dict[str, np.ndarray]):
         cfg = self.cfg
         out = {"image": jnp.asarray(batch_np["image"], self.dtype)}
-        if cfg.phase in (1, 2):
+        if cfg.phase in (1, 2) and not self.supervised_pseudo:
             out["l1h"] = jnp.asarray(batch_np["l1h"], jnp.float32)
         else:
             out["seg"] = jnp.asarray(batch_np["seg"], jnp.int32)

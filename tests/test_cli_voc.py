@@ -3,6 +3,8 @@ instance mAP validation, and phase-1 CAM mIoU validation."""
 
 import os
 
+import numpy as np
+
 import pytest
 
 from cl4wsis_tpu.cli.main import main
@@ -101,4 +103,34 @@ def test_cli_deeplabv3_semantic_only(tmp_path):
                "--crop_size_val", "48", "--checkpoint", str(tmp_path / "ck"),
                "--dtype", "float32", "--bce", "true", "--optim", "adam",
                "--lr", "5e-5", "--pretrained", "false"])
+    assert rc == 0
+
+
+@pytest.mark.slow
+def test_cli_pseudo_supervised_and_val_on_trainset(tmp_path):
+    """--pseudo trains supervised from precomputed labels; --val_on_trainset
+    evaluates on the train split."""
+    root = str(tmp_path)
+    _write_fake_voc(root, n_images=16, size=48)
+    # fabricate pseudo labels for every image
+    pdir = os.path.join(root, "voc", "mylab", "ins_seg_mylab")
+    os.makedirs(pdir, exist_ok=True)
+    masks = np.zeros((1, 48, 48), bool)
+    masks[0, 8:24, 8:24] = True
+    for i in range(16):
+        np.save(os.path.join(pdir, f"img_{i:03d}.npy"),
+                {"mask": masks, "class": np.array([15])})
+    ckpt = str(tmp_path / "ck")
+    common = ["--data_root", root, "--dataset", "voc", "--task", "15-5",
+              "--tiny", "true", "--batch_size", "8", "--crop_size", "48",
+              "--crop_size_val", "48", "--checkpoint", ckpt,
+              "--dtype", "float32", "--kernel", "15", "--val_kernel", "15",
+              "--pretrained", "false", "--epochs", "1"]
+    assert main(common + ["--step", "0", "--name", "b", "--bce", "true",
+                          "--optim", "adam", "--lr", "5e-5"]) == 0
+    step0 = os.path.join(ckpt, "step", "voc-15-5-ov", "b_0")
+    rc = main(common + ["--step", "1", "--name", "p", "--weakly", "true",
+                        "--pseudo", "mylab", "--optim", "adam",
+                        "--lr", "5e-5", "--step_ckpt", step0,
+                        "--val_on_trainset", "true"])
     assert rc == 0
