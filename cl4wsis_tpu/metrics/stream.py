@@ -76,6 +76,21 @@ class StreamSegMetrics:
                                          np.int64)
         self.total_samples = 0
 
+    def confusion_figure(self):
+        """Matplotlib figure of the normalized confusion matrix
+        (reference ``metrics/stream_metrics.py:133-144``)."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, ax = plt.subplots()
+        cm = self.confusion_matrix.astype(np.float64)
+        cm = cm / np.maximum(cm.sum(axis=1, keepdims=True), 1)
+        im = ax.imshow(cm, cmap=plt.get_cmap("Blues"))
+        fig.colorbar(im)
+        ax.set_xlabel("prediction")
+        ax.set_ylabel("ground truth")
+        return fig
+
     def to_str(self, results: Dict) -> str:
         lines = ["Results:"]
         for k, v in results.items():

@@ -76,6 +76,21 @@ class Logger:
             import wandb
             self._wandb.log({tag: wandb.Image(arr)})
 
+    def add_table(self, tag: str, rows, columns=None):
+        """Log a small table (list of rows) as a JSONL record."""
+        if self.is_main:
+            self._write({"type": "table", "tag": tag,
+                         "columns": columns, "rows": _jsonable_list(rows)})
+
+    def add_figure(self, tag: str, figure, step: Optional[int] = None):
+        """Save a matplotlib figure under the log dir."""
+        if not self.is_main:
+            return
+        d = os.path.join(self.logdir, "figures")
+        os.makedirs(d, exist_ok=True)
+        name = f"{tag.replace('/', '_')}_{step if step is not None else 0}.png"
+        figure.savefig(os.path.join(d, name), bbox_inches="tight")
+
     def commit(self, intermediate: bool = False):
         buf = self._inter_buf if intermediate else self._epoch_buf
         if buf and self.is_main:
@@ -118,6 +133,17 @@ class Logger:
         if self._jsonl is not None:
             self._jsonl.write(json.dumps(obj) + "\n")
             self._jsonl.flush()
+
+
+def _jsonable_list(rows):
+    out = []
+    for r in rows:
+        try:
+            json.dumps(r)
+            out.append(r)
+        except TypeError:
+            out.append(str(r))
+    return out
 
 
 def _jsonable(d: Dict) -> Dict:

@@ -51,3 +51,17 @@ def test_logger_add_image(tmp_path):
     lg.add_image("val/sample", np.random.rand(8, 8, 3), step=3)
     assert os.path.exists(str(tmp_path / "images" / "val_sample_3.png"))
     lg.close()
+
+
+def test_logger_table_and_figure(tmp_path):
+    import os
+    from cl4wsis_tpu.metrics.stream import StreamSegMetrics
+    from cl4wsis_tpu.utils.logging import Logger
+    lg = Logger(str(tmp_path), rank=0, name="tf")
+    lg.add_table("results", [[0, 0.5], [1, 0.7]], columns=["cls", "iou"])
+    m = StreamSegMetrics(3)
+    m.update(np.array([[0, 1, 2]]), np.array([[0, 1, 1]]))
+    fig = m.confusion_figure()
+    lg.add_figure("val/confusion", fig, step=1)
+    assert os.path.exists(str(tmp_path / "figures" / "val_confusion_1.png"))
+    lg.close()
