@@ -68,6 +68,19 @@ class Config:
     kd_alpha: float = 1.0
     icarl: bool = False
     icarl_bkg: float = -1.0
+    # Accepted-and-inert, matching actual reference behavior: the reference
+    # parses these (argparser.py:157,159,169,189) but `l_icarl` is initialized
+    # to 0 and never reassigned (train.py:223), balanced_mask_loss_unce is
+    # imported but never selected (train.py:19 vs :411), and pl_ckpt has no
+    # usage site at all.
+    icarl_importance: float = 1.0
+    icarl_disjoint: bool = False
+    unce: bool = False
+    pl_ckpt: Optional[str] = None
+    # Live: only 'peakgenerator' is implemented (reference train.py:88 —
+    # any other value leaves self.peakgenerator unset and the weakly
+    # phases crash); validated in Trainer.
+    peak_from: str = "peakgenerator"
     pseudo_ep: int = 5
     pos_w: float = 1.0
     affinity: bool = False
@@ -91,6 +104,10 @@ class Config:
 
     # validation
     val_interval: int = 1
+    # crop_val: parsed by the reference (argparser.py:95) but never read —
+    # the val transform is unconditional Resize (dataset/__init__.py:21-26).
+    # Accepted-and-inert here to match actual reference behavior.
+    crop_val: bool = True
     val_thresh: float = 0.1
     val_kernel: int = 41
     val_flip: bool = False
@@ -110,6 +127,12 @@ class Config:
     debug: bool = False
     profile_dir: Optional[str] = None  # jax.profiler trace output dir
     sample_num: int = 0                # save N sample visualizations per val
+    logdir: str = "./logs"             # log root (reference argparser.py:99)
+    visualize: bool = True             # logger summary on/off (run.py:49)
+    print_interval: int = 10           # interval-mean loss logging cadence
+                                       # (reference train.py:552-566; its flag
+                                       # argparser.py:109 is parsed but train()
+                                       # keeps the default 10 — here it's wired)
 
     # derived in finalize()
     branch: str = "ins"
@@ -154,24 +177,54 @@ class Config:
         return cfg
 
 
+def _strbool(v: str) -> bool:
+    return v.lower() in ("1", "true", "t", "yes", "y")
+
+
+# Reference flags that map onto a differently-named Config field, plus
+# reference flags with no TPU-side meaning (accepted and ignored so that
+# reference command lines parse unchanged — see reference argparser.py:43-48
+# for local_rank/device, which are DDP/CUDA process plumbing with no SPMD
+# analogue, and :107/:123 for the store_false/store_true inversions).
+_REF_ALIASES = {"random_seed": "seed"}
+_REF_IGNORED = ("local_rank", "device", "use_DeeplabV3_as_seg_branch")
+_REF_INVERTED = {"no_pretrained": "pretrained"}  # --no_pretrained == --pretrained false
+
+
 def get_argparser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser("cl4wsis_tpu")
     for f in dataclasses.fields(Config):
         name = "--" + f.name
         if f.type == "bool" or isinstance(f.default, bool):
-            parser.add_argument(name, type=lambda v: v.lower() in
-                                ("1", "true", "t", "yes", "y"),
+            # accepts both reference style (bare `--weakly`) and explicit
+            # `--weakly true/false`
+            parser.add_argument(name, type=_strbool, nargs="?", const=True,
                                 default=f.default)
         elif f.default is None:
             parser.add_argument(name, default=None)
         else:
             parser.add_argument(name, type=type(f.default), default=f.default)
+    for ref, mine in _REF_ALIASES.items():
+        parser.add_argument("--" + ref, dest=mine, type=int,
+                            default=argparse.SUPPRESS)
+    for ref in _REF_IGNORED:
+        parser.add_argument("--" + ref, nargs="?", const=True,
+                            default=argparse.SUPPRESS, dest="_ignored_" + ref)
+    for ref in _REF_INVERTED:
+        parser.add_argument("--" + ref, nargs="?", const=True, type=_strbool,
+                            default=argparse.SUPPRESS, dest="_inv_" + ref)
     return parser
 
 
 def parse_config(argv: Optional[List[str]] = None) -> Config:
     args = get_argparser().parse_args(argv)
     kw = vars(args)
+    for k in list(kw):
+        if k.startswith("_ignored_"):
+            kw.pop(k)
+        elif k.startswith("_inv_"):
+            v = kw.pop(k)
+            kw[_REF_INVERTED[k[len("_inv_"):]]] = not v
     if kw.get("phase") is not None:
         kw["phase"] = int(kw["phase"])
     if kw.get("step") is not None:

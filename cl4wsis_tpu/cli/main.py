@@ -120,8 +120,13 @@ def main(argv: Optional[list] = None) -> int:
     os.makedirs(os.path.dirname(ckpt_out), exist_ok=True)
 
     from cl4wsis_tpu.utils.logging import Logger
-    logger = Logger(os.path.join(cfg.checkpoint, "logs"),
-                    rank=jax.process_index(), step=cfg.step, name=cfg.name)
+    # reference run.py:48-49: logdir_full = {logdir}/{task_name}/{name}/,
+    # summary gated on --visualize
+    ov = "-ov" if cfg.overlap else ""
+    logdir_full = os.path.join(cfg.logdir,
+                               f"{cfg.dataset}-{cfg.task}{ov}", cfg.name)
+    logger = Logger(logdir_full, rank=jax.process_index(), step=cfg.step,
+                    name=cfg.name, summary=cfg.visualize)
     logger.add_config(cfg)
 
     # determinism canary (run.py:118-119): a fixed-key random draw printed
@@ -217,7 +222,8 @@ def main(argv: Optional[list] = None) -> int:
     # --test: skip training, evaluate the loaded checkpoint (run.py:114)
     train_epochs = range(start_epoch, 0 if cfg.test else cfg.epochs)
     for epoch in train_epochs:
-        metrics = trainer.train_epoch(epoch, loader.epoch(epoch))
+        metrics = trainer.train_epoch(epoch, loader.epoch(epoch),
+                                      logger=logger)
         loss = metrics.get("loss", float("nan"))
         assert np.isfinite(loss), f"loss diverged: {metrics}"
         logger.info(f"[epoch {epoch}] loss={loss:.4f} "

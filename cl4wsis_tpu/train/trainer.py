@@ -61,6 +61,12 @@ class Trainer:
         self.pseudolabeler = None
         self.peakgenerator = None
         if self.weakly and cfg.pseudo is None:
+            if cfg.peak_from != "peakgenerator":
+                # reference train.py:88: any other value leaves
+                # self.peakgenerator unset and the weakly phases crash
+                raise NotImplementedError(
+                    f"peak_from={cfg.peak_from!r}: only 'peakgenerator' "
+                    "is implemented (matching the reference)")
             self.pseudolabeler = PseudoLabeler(num_classes=self.tot_classes,
                                                dtype=self.dtype)
             self.peakgenerator = PeakGenerator(
@@ -195,13 +201,31 @@ class Trainer:
 
     # ------------------------------------------------------------ loops
 
-    def train_epoch(self, epoch: int, batches) -> Dict[str, float]:
+    # reference wandb tag names for interval logging (train.py:560-564)
+    _REF_TAGS = {"loss": "Loss/tot", "l_cam_int": "Loss/CAM_int",
+                 "l_cam_new": "Loss/CAM_out", "l_cls": "Loss/SEG_int",
+                 "l_seg": "Loss/SEG_out"}
+
+    def train_epoch(self, epoch: int, batches, logger=None) -> Dict[str, float]:
+        """One epoch. Returned metrics are EPOCH MEANS over all batches
+        (reference train.py:543,568-580: epoch_loss accumulated per step,
+        divided by len(loader) at the end); per-loss components are logged
+        as interval means every ``print_interval`` steps when a logger is
+        attached (train.py:552-566).
+
+        Aggregation stays on device (lazy adds) so dispatch remains async;
+        the only host syncs are the first batch (fail fast on NaN/compile
+        errors) and each print_interval boundary, matching the reference's
+        per-interval .item() cadence.
+        """
         cfg = self.cfg
         step_fn = self._get_step(epoch)
         phase = None if self.supervised_pseudo else cfg.phase
         rng = jax.random.PRNGKey(cfg.seed + epoch)
-        agg: Dict[str, float] = {}
+        agg = None          # on-device running sums over the epoch
+        interval = None     # on-device running sums since last print
         n = 0
+        n_int = 0
         t0 = time.time()
         timer = None
         if cfg.profile_dir and epoch == 0:
@@ -221,14 +245,31 @@ class Trainer:
                 self.state, metrics = step_fn(self.state, batch, sub)
             if timer is not None:
                 timer.end_step(i, metrics["loss"])
+            agg = metrics if agg is None else jax.tree_util.tree_map(
+                jnp.add, agg, metrics)
+            interval = metrics if interval is None else jax.tree_util.tree_map(
+                jnp.add, interval, metrics)
             n += 1
+            n_int += 1
             if i == 0 or cfg.debug:
                 jax.block_until_ready(metrics["loss"])
+            if logger is not None and (i + 1) % cfg.print_interval == 0:
+                means = {k: float(v) / n_int for k, v in interval.items()}
+                logger.debug(f"Epoch {epoch}, Batch {i + 1}, "
+                             f"Loss={means.get('loss', float('nan')):.6f}")
+                ipe = (cfg.max_iters // cfg.epochs) if cfg.epochs else 0
+                x = epoch * max(ipe, i + 1) + i + 1
+                for k, v in means.items():
+                    logger.add_scalar(self._REF_TAGS.get(k, f"Loss/{k}"), v, x,
+                                      intermediate=True)
+                logger.commit(intermediate=True)
+                interval = None
+                n_int = 0
         if n == 0:
             raise ValueError(
                 "epoch produced no batches — dataset smaller than "
                 "batch_size after task filtering?")
-        metrics = {k: float(v) for k, v in metrics.items()}
+        metrics = {k: float(v) / n for k, v in agg.items()}
         metrics["epoch_time_s"] = time.time() - t0
         metrics["n_batches"] = n
         if timer is not None:
