@@ -28,8 +28,22 @@ from cl4wsis_tpu.models.resnet import ResNet
 from cl4wsis_tpu.ops.resize import resize_bilinear
 
 
+# structure, bottleneck? — mirrors reference models/resnet.py:126-138
+_RESNET_STRUCTURES = {
+    "resnet18": ((2, 2, 2, 2), False),
+    "resnet34": ((3, 4, 6, 3), False),
+    "resnet50": ((3, 4, 6, 3), True),
+    "resnet101": ((3, 4, 23, 3), True),
+    "resnet152": ((3, 8, 36, 3), True),
+}
+
+
 def backbone_channels(backbone: str) -> int:
-    return 4096 if "wide" in backbone else 2048
+    if "wide" in backbone:
+        return 4096
+    if backbone in _RESNET_STRUCTURES and not _RESNET_STRUCTURES[backbone][1]:
+        return 512  # basic-block nets (18/34)
+    return 2048
 
 
 class CL4WSISModel(nn.Module):
@@ -64,10 +78,11 @@ class CL4WSISModel(nn.Module):
     def setup(self):
         from cl4wsis_tpu.core.norms import norm_factory
         norm = norm_factory(self.norm_act)
-        if self.backbone in ("resnet101", "resnet50"):
-            structure = self.backbone_structure or (
-                (3, 4, 23, 3) if self.backbone == "resnet101" else (3, 4, 6, 3))
-            self.body = ResNet(structure=tuple(structure), output_stride=self.output_stride,
+        if self.backbone in _RESNET_STRUCTURES:
+            default_structure, bottleneck = _RESNET_STRUCTURES[self.backbone]
+            structure = self.backbone_structure or default_structure
+            self.body = ResNet(structure=tuple(structure), bottleneck=bottleneck,
+                               output_stride=self.output_stride,
                                norm=norm, dtype=self.dtype, remat=self.remat)
         elif self.backbone == "wider_resnet38_a2":
             from cl4wsis_tpu.models.wide_resnet import WiderResNet38A2

@@ -112,6 +112,31 @@ def test_train_mode_updates_stats():
     assert not np.allclose(np.asarray(before), np.asarray(after))
 
 
+def test_resnet_variant_factories():
+    """Reference exposes 18/34/50/101/152 (models/resnet.py:126-138); the
+    basic-block nets (18/34) top out at 512 channels."""
+    from cl4wsis_tpu.models import resnet18, resnet34, resnet50, resnet101, resnet152
+    assert resnet18().structure == (2, 2, 2, 2) and not resnet18().bottleneck
+    assert resnet34().structure == (3, 4, 6, 3) and not resnet34().bottleneck
+    assert resnet50().structure == (3, 4, 6, 3) and resnet50().bottleneck
+    assert resnet101().structure == (3, 4, 23, 3)
+    assert resnet152().structure == (3, 8, 36, 3)
+    assert resnet18().out_channels == 512
+    assert resnet101().out_channels == 2048
+
+
+def test_basicblock_backbone_assembly():
+    """make_model dispatches resnet18/34 with 512-ch res5 into the heads."""
+    m = CL4WSISModel(classes=(4, 2), backbone="resnet18", pooling_size=4,
+                     backbone_structure=(1, 1, 1, 1))
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = m.init(jax.random.PRNGKey(0), x, train=False)
+    pred, feats = m.apply(variables, x, train=False)
+    assert pred["seg"].shape == (1, 64, 64, 6)
+    assert pred["center"].shape == (1, 64, 64, 5)
+    assert feats["body"].shape == (1, 4, 4, 512)
+
+
 def test_wide_resnet38_shapes():
     from cl4wsis_tpu.models.wide_resnet import WiderResNet38A2
     m = WiderResNet38A2(structure=(1, 1, 1, 1, 1, 1))  # tiny for CPU
