@@ -226,3 +226,92 @@ class ColorJitter:
             if amt > 0:
                 img = enh(img).enhance(rng.uniform(1 - amt, 1 + amt))
         return img, lbl
+
+
+class Pad:
+    """Pad both image and label on all sides (reference transform.py:173-223).
+
+    `padding` is an int, (lr, tb) pair, or (l, t, r, b) 4-tuple; `fill` is
+    the constant value; `mode` one of constant/edge/reflect/symmetric."""
+
+    def __init__(self, padding, fill: int = 0, mode: str = "constant"):
+        if isinstance(padding, int):
+            padding = (padding, padding, padding, padding)
+        elif len(padding) == 2:
+            padding = (padding[0], padding[1], padding[0], padding[1])
+        self.padding = tuple(padding)  # (l, t, r, b)
+        self.fill = fill
+        assert mode in ("constant", "edge", "reflect", "symmetric")
+        self.mode = mode
+
+    def _pad(self, arr: np.ndarray) -> np.ndarray:
+        l, t, r, b = self.padding
+        spec = ((t, b), (l, r)) + ((0, 0),) * (arr.ndim - 2)
+        if self.mode == "constant":
+            return np.pad(arr, spec, constant_values=self.fill)
+        return np.pad(arr, spec, mode=self.mode)
+
+    def __call__(self, img, lbl, rng):
+        return (Image.fromarray(self._pad(np.asarray(img))),
+                Image.fromarray(self._pad(np.asarray(lbl))))
+
+
+class Lambda:
+    """Apply a user function to both image and label (reference :225-243)."""
+
+    def __init__(self, fn):
+        assert callable(fn)
+        self.fn = fn
+
+    def __call__(self, img, lbl, rng):
+        return self.fn(img), self.fn(lbl)
+
+
+class CustomRandomResizeLong:
+    """Resize so the LONG side is uniform in [min_long, max_long]
+    (reference transform.py:772-792)."""
+
+    def __init__(self, min_long: int, max_long: int):
+        self.min_long = min_long
+        self.max_long = max_long
+
+    def __call__(self, img, lbl, rng):
+        target = rng.randint(self.min_long, self.max_long + 1)
+        w, h = img.size
+        if w < h:
+            shape = (int(round(w * target / h)), target)
+        else:
+            shape = (target, int(round(h * target / w)))
+        img = img.resize(shape, Image.BICUBIC)
+        lbl = lbl.resize(shape, Image.NEAREST)
+        return img, lbl
+
+
+class CustomRandomCrop:
+    """Random crop into a zero-filled `cropsize` square container; images
+    smaller than the crop are randomly placed inside it (reference
+    transform.py:795-831, array-domain)."""
+
+    def __init__(self, cropsize: int):
+        self.cropsize = cropsize
+
+    def _offsets(self, extent: int, rng) -> Tuple[int, int]:
+        space = extent - self.cropsize
+        if space > 0:
+            return 0, rng.randint(0, space + 1)
+        return rng.randint(0, -space + 1), 0
+
+    def __call__(self, img, lbl, rng):
+        ia = np.asarray(img)
+        la = np.asarray(lbl)
+        h, w = ia.shape[:2]
+        ch, cw = min(self.cropsize, h), min(self.cropsize, w)
+        cont_top, img_top = self._offsets(h, rng)
+        cont_left, img_left = self._offsets(w, rng)
+        ic = np.zeros((self.cropsize, self.cropsize) + ia.shape[2:], ia.dtype)
+        lc = np.zeros((self.cropsize, self.cropsize) + la.shape[2:], la.dtype)
+        ic[cont_top:cont_top + ch, cont_left:cont_left + cw] = \
+            ia[img_top:img_top + ch, img_left:img_left + cw]
+        lc[cont_top:cont_top + ch, cont_left:cont_left + cw] = \
+            la[img_top:img_top + ch, img_left:img_left + cw]
+        return Image.fromarray(ic), Image.fromarray(lc)

@@ -171,6 +171,36 @@ def test_extended_transforms():
     assert (np.asarray(l2) == 255).any()
 
 
+def test_transform_library_completion():
+    """Pad / Lambda / CustomRandomResizeLong / CustomRandomCrop
+    (reference transform.py:173-243,772-831)."""
+    from cl4wsis_tpu.data import transforms as T
+    rng = np.random.RandomState(1)
+    img = Image.fromarray((rng.rand(40, 60, 3) * 255).astype(np.uint8))
+    lbl = Image.fromarray(rng.randint(0, 5, (40, 60), dtype=np.uint8))
+
+    i2, l2 = T.Pad(3, fill=7)(img, lbl, rng)
+    assert i2.size == (66, 46) and l2.size == (66, 46)
+    assert (np.asarray(l2)[:3] == 7).all()
+    i2, l2 = T.Pad((1, 2, 3, 4), mode="edge")(img, lbl, rng)
+    assert i2.size == (60 + 1 + 3, 40 + 2 + 4)
+
+    i2, l2 = T.Lambda(lambda im: im.transpose(Image.FLIP_LEFT_RIGHT))(
+        img, lbl, rng)
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(img)[:, ::-1])
+
+    i2, l2 = T.CustomRandomResizeLong(70, 90)(img, lbl, rng)
+    assert 70 <= max(i2.size) <= 90
+    assert i2.size == l2.size
+    # aspect preserved to rounding
+    assert abs(i2.size[0] / i2.size[1] - 60 / 40) < 0.1
+
+    i2, l2 = T.CustomRandomCrop(48)(img, lbl, rng)
+    assert i2.size == (48, 48) and l2.size == (48, 48)
+    # smaller-than-crop dim is zero-padded inside the container
+    assert (np.asarray(i2) == 0).any()
+
+
 def test_pseudo_label_substitution(tmp_path):
     root = str(tmp_path)
     _write_fake_voc(root, n_images=2)
