@@ -71,7 +71,18 @@ def rle_encode(mask: np.ndarray) -> Dict:
 
 
 def polygons_to_mask(polys: Sequence[Sequence[float]], h: int, w: int) -> np.ndarray:
-    """Rasterize COCO polygons ([x0,y0,x1,y1,...] lists) to a (h, w) mask."""
+    """Rasterize COCO polygons ([x0,y0,x1,y1,...] lists) to a (h, w) mask.
+
+    Default path is the C++ exact-CRLE rasterizer (bit-identical to
+    pycocotools' rleFrPoly, golden-tested in tests/test_native.py); cv2
+    fillPoly (<=1px boundary difference) and a numpy scanline serve as
+    fallbacks when libmaskops.so isn't built."""
+    try:
+        from cl4wsis_tpu.data import native
+        if native.available():
+            return native.poly_to_mask(polys, h, w)
+    except Exception:  # pragma: no cover
+        pass
     mask = np.zeros((h, w), np.uint8)
     if _HAS_CV2:
         pts = [np.asarray(p, np.float64).reshape(-1, 2).round().astype(np.int32)

@@ -79,6 +79,21 @@ def rle_encode(mask: np.ndarray) -> List[int]:
     return buf[:n].tolist()
 
 
+def poly_to_mask(polys, h: int, w: int) -> np.ndarray:
+    """COCO polygon rasterization, exact published-CRLE (rleFrPoly)
+    semantics; polygons OR together like pycocotools merge."""
+    lib = _load()
+    out = np.zeros((h, w), np.uint8)
+    op = out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    for p in polys:
+        if len(p) < 6:
+            continue
+        xy = np.ascontiguousarray(p, np.float64)
+        lib.poly_to_mask(xy.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                         len(xy) // 2, h, w, op)
+    return out
+
+
 def connected_components_stats(mask: np.ndarray, connectivity: int = 8,
                                max_comp: int = 4096
                                ) -> Tuple[np.ndarray, np.ndarray]:

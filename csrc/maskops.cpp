@@ -81,8 +81,12 @@ int rle_encode(const uint8_t* mask, int h, int w, int64_t* runs, int max_runs) {
 }
 
 // ------------------------------------------------ polygon rasterization
-// pycocotools-exact rleFrPoly: 5x upsample vertices, walk integer boundary
-// pixels, then even-odd scanline in the column-major run domain.
+// Exact rleFrPoly semantics (the published COCO CRLE algorithm): 5x-upsample
+// vertices, walk integer boundary points densely along every edge, detect
+// x-crossings and downsample them to pixel-column toggle positions, then
+// even-odd fill in the column-major run domain. The sorted-diff RLE the
+// original builds is equivalent to XOR toggles at the crossing positions
+// (duplicate crossings cancel pairwise exactly like its zero-run merge).
 
 void poly_to_mask(const double* xy, int n_pts, int h, int w, uint8_t* out) {
   // out must be zeroed by the caller (accumulates with OR across polygons)
@@ -96,58 +100,49 @@ void poly_to_mask(const double* xy, int n_pts, int h, int w, uint8_t* out) {
   x[n] = x[0];
   y[n] = y[0];
 
-  // upsampled boundary points
-  std::vector<int> u, v;
+  // densely sampled integer boundary points on the 5x grid
+  std::vector<long> u, v;
   for (int j = 0; j < n; j++) {
     long xs = x[j], xe = x[j + 1], ys = y[j], ye = y[j + 1];
     long dx = std::labs(xe - xs), dy = std::labs(ys - ye);
-    bool flip;
-    double s;
-    long m = std::max(dx, dy);
+    bool flip = (dx >= dy && xs > xe) || (dx < dy && ys > ye);
+    if (flip) { std::swap(xs, xe); std::swap(ys, ye); }
+    double s = dx >= dy ? (dx == 0 ? 0.0 : (double)(ye - ys) / dx)
+                        : (double)(xe - xs) / dy;
     if (dx >= dy) {
-      flip = (dx > 0 && xe < xs);
-      if (flip) { std::swap(xs, xe); std::swap(ys, ye); }
-      s = dx == 0 ? 0 : (double)(ye - ys) / dx;
-      for (long d = 0; d <= m && dx >= dy; d++) {
+      for (long d = 0; d <= dx; d++) {
         long t = flip ? dx - d : d;
-        u.push_back((int)(t + xs));
-        v.push_back((int)(ys + s * t + 0.5));
+        u.push_back(t + xs);
+        v.push_back((long)(ys + s * t + 0.5));
       }
     } else {
-      flip = (dy > 0 && ye < ys);
-      if (flip) { std::swap(xs, xe); std::swap(ys, ye); }
-      s = dy == 0 ? 0 : (double)(xe - xs) / dy;
-      for (long d = 0; d <= m; d++) {
+      for (long d = 0; d <= dy; d++) {
         long t = flip ? dy - d : d;
-        v.push_back((int)(t + ys));
-        u.push_back((int)(xs + s * t + 0.5));
+        v.push_back(t + ys);
+        u.push_back((long)(xs + s * t + 0.5));
       }
     }
   }
-  // downsample to pixel coords (pycocotools rleFrPoly second loop)
-  std::vector<int> px, py;
-  int m = (int)u.size();
-  double xd, yd;
-  for (int j = 1; j <= m; j++) {
-    if (j < m && u[j] == u[j - 1]) continue;
-    int jj = j - 1;
-    xd = (double)u[jj] / scale;
-    xd = std::floor(xd);
-    if (xd < 0) xd = 0; else if (xd > w) xd = w;
-    yd = (double)v[jj] / scale;
-    if (yd < 0) yd = 0; else if (yd > h - 1) yd = h - 1;
+  // x-crossings -> pixel toggle positions: a crossing between upsampled
+  // columns lands in pixel column xd only when (xd+.5)/scale-.5 is integral
+  std::vector<long> px, py;
+  long m = (long)u.size();
+  for (long j = 1; j < m; j++) {
+    if (u[j] == u[j - 1]) continue;
+    double xd = (double)(u[j] < u[j - 1] ? u[j] : u[j] - 1);
+    xd = (xd + 0.5) / scale - 0.5;
+    if (std::floor(xd) != xd || xd < 0 || xd > w - 1) continue;
+    double yd = (double)(v[j] < v[j - 1] ? v[j] : v[j - 1]);
+    yd = (yd + 0.5) / scale - 0.5;
+    if (yd < 0) yd = 0; else if (yd > h) yd = h;
     yd = std::ceil(yd);
-    px.push_back((int)xd);
-    py.push_back((int)yd);
+    px.push_back((long)xd);
+    py.push_back((long)yd);
   }
-  // NOTE: faithful transcription of the published CRLE algorithm requires
-  // the k-point crossing bookkeeping; we instead mark crossings per column
-  // and scan, which matches pycocotools on integer-coordinate polygons.
-  // even-odd fill in column-major order
+  // even-odd fill in column-major order (== the original's sorted-diff RLE)
   std::vector<uint8_t> colmaj((size_t)h * w, 0);
-  int k = (int)px.size();
-  for (int j = 0; j < k; j++) {
-    long idx = (long)px[j] * h + py[j];
+  for (size_t j = 0; j < px.size(); j++) {
+    long idx = px[j] * h + py[j];
     if (idx < (long)h * w) colmaj[idx] ^= 1;
   }
   uint8_t inside = 0;
