@@ -90,6 +90,44 @@ class InstanceAPAccumulator:
                 else:
                     match[lab].append(0)
 
+    def merge(self, other: "InstanceAPAccumulator") -> None:
+        """Fold another accumulator's (n_pos, score, match) into this one —
+        order-independent, so shard-and-merge equals sequential accumulation."""
+        assert self.thresholds == other.thresholds
+        for idx in range(len(self.thresholds)):
+            for lab, v in other.n_pos[idx].items():
+                self.n_pos[idx][lab] += v
+            for lab, v in other.score[idx].items():
+                self.score[idx][lab].extend(v)
+            for lab, v in other.match[idx].items():
+                self.match[idx][lab].extend(v)
+
+    def synch(self) -> None:
+        """Merge accumulators across hosts (multi-process SPMD eval: each
+        process evaluates its val shard, results() must then be global).
+        Variable-length state rides a pickled+padded byte allgather."""
+        import jax
+        if jax.process_count() == 1:
+            return
+        import pickle
+
+        from jax.experimental import multihost_utils
+        blob = np.frombuffer(pickle.dumps(
+            (self.n_pos, self.score, self.match)), np.uint8)
+        lens = multihost_utils.process_allgather(
+            np.array([blob.size], np.int64)).reshape(-1)
+        padded = np.zeros(int(lens.max()), np.uint8)
+        padded[:blob.size] = blob
+        gathered = multihost_utils.process_allgather(padded)
+        me = jax.process_index()
+        for p in range(int(jax.process_count())):
+            if p == me:
+                continue
+            other = InstanceAPAccumulator(self.thresholds)
+            (other.n_pos, other.score, other.match) = pickle.loads(
+                bytes(np.asarray(gathered[p][:int(lens[p])])))
+            self.merge(other)
+
     def results(self, use_07_metric: bool = False) -> Dict[str, np.ndarray]:
         """mAP@[.5:.05:.95] per class + map (``train.py:633-643``)."""
         n_classes = max((max(d.keys(), default=-1) for d in self.n_pos),
