@@ -1,6 +1,6 @@
 """Benchmark: training throughput (images/sec/chip) on the flagship config.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...audit}.
 
 North star (BASELINE.md): phase-2 CL4WSIS training on VOC 15-5 at >= 3x the
 A100 images/sec/chip of the PyTorch reference. The reference publishes no
@@ -9,26 +9,51 @@ phase-2 throughput per A100 (ResNet-101 @ 512^2, global batch 16, AMP, with
 the per-image Python/cv2 label factory in the loop). vs_baseline =
 (our img/s/chip) / (3 * A100_REF_IMG_S) so 1.0 means the target is met.
 
-Currently benches the most advanced runnable path (updated as phases land):
-phase-2 training step if available, else step-0.
+Auditability (VERDICT r1 item 3): the JSON also reports the XLA-compiled
+program's own FLOP estimate per step, the derived TFLOP/s, and the implied
+MFU against the detected chip's bf16 peak. If implied_mfu > 1 the timing is
+physically impossible and the line carries "suspect_timing": true — wall
+clock through the axon tunnel is known-unreliable (CLAUDE.md), so MFU is the
+sanity gate a reviewer can check.
+
+Set CL4WSIS_BENCH_PROFILE=/some/dir to additionally capture a jax.profiler
+trace of the timed loop (device-time ground truth for human inspection).
 """
 
 from __future__ import annotations
 
 import json
-import time
 
 A100_REF_IMG_S = 30.0  # estimated reference phase-2 img/s per A100 (see docstring)
 TARGET = 3 * A100_REF_IMG_S
 
+# bf16 peak TFLOP/s per chip, by jax device_kind substring (public specs)
+CHIP_PEAK_TFLOPS = [
+    ("v6e", 918.0), ("v6", 918.0),
+    ("v5p", 459.0), ("v5e", 197.0), ("v5 lite", 197.0), ("v5litepod", 197.0),
+    ("v4", 275.0), ("v3", 123.0), ("v2", 45.0),
+]
 
-def bench_step0(batch_size: int = 16, size: int = 512, steps: int = 20):
+
+def chip_peak_tflops(kind: str) -> float | None:
+    k = kind.lower()
+    for sub, peak in CHIP_PEAK_TFLOPS:
+        if sub in k:
+            return peak
+    return None
+
+
+def bench_step0(batch_size: int = 16, size: int = 512, steps: int = 20,
+                n_batches: int = 4):
+    import time
+
     import jax
     import jax.numpy as jnp
 
     from cl4wsis_tpu.data.synthetic import synthetic_batches
     from cl4wsis_tpu.models import make_model
     from cl4wsis_tpu.train import schedule
+    from cl4wsis_tpu.train.phase2 import _cost_analysis_flops
     from cl4wsis_tpu.train.step0 import init_state, make_step0_train_step
 
     model = make_model(classes=(16,), backbone="resnet101", crop_size=size,
@@ -39,39 +64,142 @@ def bench_step0(batch_size: int = 16, size: int = 512, steps: int = 20):
                        input_shape=(1, size, size, 3))
     train_step = make_step0_train_step(model, tx, sigma=6, max_inst=50)
 
-    batch_np = next(synthetic_batches(batch_size, size, n_classes=15, seed=0,
-                                      n_batches=1))
-    batch = {"image": jnp.asarray(batch_np["image"]),
-             "seg": jnp.asarray(batch_np["seg"]),
-             "inst": jnp.asarray(batch_np["inst"])}
+    batches = []
+    for b in synthetic_batches(batch_size, size, n_classes=15, seed=0,
+                               n_batches=n_batches):
+        batches.append({"image": jax.device_put(jnp.asarray(b["image"])),
+                        "seg": jax.device_put(jnp.asarray(b["seg"])),
+                        "inst": jax.device_put(jnp.asarray(b["inst"]))})
     rng = jax.random.PRNGKey(1)
 
-    # warmup / compile
-    state, metrics = train_step(state, batch, rng)
+    compiled = train_step.lower(state, batches[0], rng).compile()
+    flops = _cost_analysis_flops(compiled)
+
+    state, metrics = train_step(state, batches[0], rng)
     jax.block_until_ready(metrics["loss"])
 
     t0 = time.perf_counter()
     for i in range(steps):
-        state, metrics = train_step(state, batch, jax.random.fold_in(rng, i))
+        state, metrics = train_step(state, batches[i % n_batches],
+                                    jax.random.fold_in(rng, i))
     jax.block_until_ready(metrics["loss"])
     dt = time.perf_counter() - t0
-    return batch_size * steps / dt, "step0"
+    return {"img_s": batch_size * steps / dt, "tag": "step0",
+            "flops_per_step": flops, "batch_size": batch_size,
+            "steps": steps, "dt": dt}
+
+
+class _JpegDataset:
+    """Synthetic-decode workload: a real VOC-train-shaped sample — JPEG
+    decode (500x375) + RandomResizedCrop-to-512 + flip + normalize + label
+    nearest-resize — without needing dataset files in the container."""
+
+    def __init__(self, n_images: int = 24, crop: int = 512, seed: int = 0):
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        from cl4wsis_tpu.data.transforms import train_transform
+        rs = np.random.RandomState(seed)
+        self.blobs, self.labels = [], []
+        for _ in range(n_images):
+            arr = rs.randint(0, 255, (375, 500, 3), np.uint8)
+            buf = io.BytesIO()
+            Image.fromarray(arr).save(buf, format="JPEG", quality=90)
+            self.blobs.append(buf.getvalue())
+            self.labels.append(rs.randint(0, 21, (375, 500), np.uint8))
+        self.transform = train_transform(crop)
+        self._Image = Image
+        self._io = io
+
+    def __len__(self):
+        return 4096
+
+    def __getitem__(self, i):
+        import numpy as np
+
+        from cl4wsis_tpu.data.transforms import normalize_image
+        k = i % len(self.blobs)
+        img = self._Image.open(self._io.BytesIO(self.blobs[k])).convert("RGB")
+        lbl = self._Image.fromarray(self.labels[k])
+        rng = np.random.RandomState(i)
+        img, lbl = self.transform(img, lbl, rng)
+        return {"image": normalize_image(img),
+                "seg": np.asarray(lbl, np.int32)}
+
+
+def bench_host(batch_size: int = 16, n_batches: int = 24, num_workers: int = 4):
+    """Host input-pipeline throughput (samples/s): JPEG decode + train
+    transform + collate through the production Loader."""
+    import time
+
+    from cl4wsis_tpu.data.loader import Loader
+
+    ds = _JpegDataset()
+    loader = Loader(ds, batch_size, seed=0, num_workers=num_workers)
+    it = loader.epoch(0)
+    next(it)  # warm the pool
+    t0 = time.perf_counter()
+    n = 0
+    for _ in range(n_batches):
+        next(it)
+        n += batch_size
+    dt = time.perf_counter() - t0
+    return {"img_s": n / dt, "tag": f"host-loader(workers={num_workers})",
+            "flops_per_step": 0.0, "batch_size": batch_size,
+            "steps": n_batches, "dt": dt}
 
 
 def main():
     import os
+
+    import jax
+
     which = os.environ.get("CL4WSIS_BENCH", "phase2")
     if which == "step0":
-        img_s, tag = bench_step0()
+        r = bench_step0()
+    elif which == "host":
+        r = bench_host(num_workers=int(os.environ.get("CL4WSIS_WORKERS", "4")))
     else:
         from cl4wsis_tpu.train.phase2 import bench_phase2
-        img_s, tag = bench_phase2()
-    print(json.dumps({
-        "metric": f"images/sec/chip ({tag} train, VOC-15-5-shaped, 512^2 bf16)",
+        r = bench_phase2()
+
+    img_s = r["img_s"]
+    if which == "host":
+        # host input pipeline: samples/s it can feed the chip; ratio >= 1 vs
+        # the 3x-A100 img/s target means the host is not the bottleneck
+        print(json.dumps({
+            "metric": f"host pipeline samples/s ({r['tag']}, JPEG decode + "
+                      "train transform + collate)",
+            "value": round(img_s, 2), "unit": "samples/s",
+            "vs_baseline": round(img_s / TARGET, 3),
+            "steps": r["steps"], "batch_size": r["batch_size"]}))
+        return
+
+    dev = jax.devices()[0]
+    kind = getattr(dev, "device_kind", str(dev.platform))
+    peak = chip_peak_tflops(kind)
+
+    out = {
+        "metric": f"images/sec/chip ({r['tag']} train, VOC-15-5-shaped, 512^2 bf16)",
         "value": round(img_s, 2),
         "unit": "img/s/chip",
         "vs_baseline": round(img_s / TARGET, 3),
-    }))
+        "chip": kind,
+        "steps": r["steps"],
+        "step_time_s": round(r["dt"] / r["steps"], 4),
+    }
+    if r["flops_per_step"] > 0:
+        tflops_s = r["flops_per_step"] * r["steps"] / r["dt"] / 1e12
+        out["xla_flops_per_step"] = r["flops_per_step"]
+        out["tflops_s"] = round(tflops_s, 1)
+        if peak is not None:
+            out["chip_peak_bf16_tflops"] = peak
+            out["implied_mfu"] = round(tflops_s / peak, 3)
+            if tflops_s > peak:
+                out["suspect_timing"] = True
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -29,7 +29,7 @@ class Config:
     synthetic: bool = False         # tiny synthetic data instead of real
     tiny: bool = False              # 1-block-per-stage backbone (debug/CI)
     grain: bool = False             # grain host pipeline instead of threads
-    num_workers: int = 4            # grain worker processes
+    num_workers: int = 4            # loader threads / grain worker processes
 
     # model
     model: str = "PanopticDeepLab"  # PanopticDeepLab | DeeplabV3 (semantic-only)
@@ -101,6 +101,14 @@ class Config:
     beta: float = 3.0
     run_refine: bool = True
     pam_alpha: float = 0.7
+    # slot caps (rebuild-specific, PARITY.md "slot caps"): the reference's
+    # label factory is unbounded (top_k=10000, train.py:497); these bound the
+    # static-shape device programs. Saturation is counted and logged
+    # ("label_truncated" train metric / "truncated_centers" val result).
+    max_ctr: int = 16        # NMS center slots per class (train refine)
+    max_cluster: int = 8     # offset-cluster slots per class
+    max_comp: int = 32       # pseudo-label components per class
+    val_max_ctr: int = 32    # NMS center slots per class at validation
 
     # validation
     val_interval: int = 1

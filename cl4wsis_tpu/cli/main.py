@@ -82,7 +82,8 @@ def build_data(cfg: Config):
     else:
         loader = Loader(train, cfg.batch_size, seed=cfg.seed,
                         process_index=jax.process_index(),
-                        process_count=jax.process_count())
+                        process_count=jax.process_count(),
+                        num_workers=cfg.num_workers)
     return loader, val
 
 
@@ -196,7 +197,9 @@ def main(argv: Optional[list] = None) -> int:
                                     trainer.tot_classes - 1,
                                     val_flip=cfg.val_flip,
                                     val_thresh=cfg.val_thresh,
-                                    val_kernel=cfg.val_kernel, beta=cfg.beta)
+                                    val_kernel=cfg.val_kernel, beta=cfg.beta,
+                                    max_ctr=cfg.val_max_ctr,
+                                    max_cluster=cfg.max_cluster)
             if cfg.sample_num > 0:
                 # save sample prediction visualizations (reference
                 # --sample_num wandb images)
@@ -215,9 +218,14 @@ def main(argv: Optional[list] = None) -> int:
                     logger.add_image(f"{tag}/sample", vis.astype(np.uint8), i)
             res = validate_instances(fwd, eval_samples(val))
             logger.add_results({"map": res["map"], "map50": res["map50"],
-                                "ap": res["ap"].tolist()})
+                                "ap": res["ap"].tolist(),
+                                "truncated_centers": res["truncated_centers"]})
             logger.info(f"[{tag}] mAP@[.5:.95]={res['map']:.4f} "
                         f"mAP@.5={res['map50']:.4f}")
+            if res["truncated_centers"]:
+                logger.info(f"[{tag}] WARNING: {res['truncated_centers']} "
+                            "center candidates hit the slot cap "
+                            "(--val_max_ctr); consider raising it")
 
     # --test: skip training, evaluate the loaded checkpoint (run.py:114)
     train_epochs = range(start_epoch, 0 if cfg.test else cfg.epochs)

@@ -1,14 +1,18 @@
 """Host batch loader: shuffled epochs, fixed-shape collation, prefetch.
 
 Replaces torch DataLoader + DistributedSampler (``run.py:72-77``): in SPMD
-each process loads its contiguous shard of the global batch; a background
-thread prefetches while the device steps.
+each process loads its contiguous shard of the global batch; `num_workers`
+threads decode/transform batches in parallel (PIL/cv2/numpy release the GIL
+in their hot paths) and batches are emitted strictly in order, so shuffling
+stays deterministic regardless of worker count.
 """
 
 from __future__ import annotations
 
 import queue
 import threading
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, Optional
 
 import numpy as np
@@ -27,7 +31,7 @@ class Loader:
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 42, drop_last: bool = True,
                  process_index: int = 0, process_count: int = 1,
-                 prefetch: int = 2):
+                 prefetch: int = 2, num_workers: int = 4):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -36,6 +40,7 @@ class Loader:
         self.process_index = process_index
         self.process_count = process_count
         self.prefetch = prefetch
+        self.num_workers = num_workers
 
     def __len__(self):
         n = len(self.dataset) // self.process_count
@@ -50,20 +55,40 @@ class Loader:
         shard = idxs[self.process_index::self.process_count]
         n_batches = len(self)
 
-        def produce(q):
-            for b in range(n_batches):
-                batch_idx = shard[b * self.batch_size:(b + 1) * self.batch_size]
-                q.put(_collate([self.dataset[int(i)] for i in batch_idx]))
-            q.put(None)
+        def make_batch(b: int) -> Dict[str, np.ndarray]:
+            batch_idx = shard[b * self.batch_size:(b + 1) * self.batch_size]
+            return _collate([self.dataset[int(i)] for i in batch_idx])
 
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
-        t = threading.Thread(target=produce, args=(q,), daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            yield item
+        if self.num_workers <= 1:
+            # single background producer
+            def produce(q):
+                for b in range(n_batches):
+                    q.put(make_batch(b))
+                q.put(None)
+
+            q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+            t = threading.Thread(target=produce, args=(q,), daemon=True)
+            t.start()
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                yield item
+            return
+
+        # worker pool, strictly ordered emission (shuffle determinism is
+        # worker-count independent)
+        window = max(self.prefetch, self.num_workers)
+        with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
+            futs: deque = deque(ex.submit(make_batch, b)
+                                for b in range(min(window, n_batches)))
+            nxt = len(futs)
+            while futs:
+                item = futs.popleft().result()
+                if nxt < n_batches:
+                    futs.append(ex.submit(make_batch, nxt))
+                    nxt += 1
+                yield item
 
 
 def eval_samples(dataset) -> Iterator[Dict[str, np.ndarray]]:

@@ -46,12 +46,25 @@ def find_instance_centers(ctr_hmp: jnp.ndarray, threshold: float = 0.1,
     return (idx // W).astype(jnp.int32), (idx % W).astype(jnp.int32), vals > 0
 
 
+def count_nms_peaks(ctr_hmp: jnp.ndarray, threshold: float,
+                    nms_kernel: int) -> jnp.ndarray:
+    """Number of NMS-surviving peaks — the unbounded count the reference's
+    top_k=10000 would keep (modules/utils.py:463-502). Callers compare this
+    against their `max_ctr` slot cap to detect silent truncation. Shares its
+    subexpressions with find_instance_centers, so under jit it is free."""
+    x = jnp.where(ctr_hmp > threshold, ctr_hmp, -1.0)
+    hmax = max_pool_same(x[None, ..., None], nms_kernel)[0, ..., 0]
+    return jnp.sum(((x == hmax) & (x > 0)).astype(jnp.int32))
+
+
 def cluster_peaks(offsets: jnp.ndarray, fg: jnp.ndarray, thresh: float = 2.5,
-                  beta: int = 5, max_peaks: int = 8, cc_iters: int = 64
-                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+                  beta: int = 5, max_peaks: int = 8, cc_iters: int = 64,
+                  with_count: bool = False):
     """Offset-magnitude cluster centers (``modules/utils.py:608-632``):
     4-connected components of {|offset| < thresh} ∩ fg whose area lies in
-    (21-beta, 21+beta); returns integer centroids (ys, xs, valid)."""
+    (21-beta, 21+beta); returns integer centroids (ys, xs, valid)
+    [+ total accepted-candidate count when ``with_count`` — for truncation
+    accounting against the ``max_peaks`` slot cap]."""
     H, W = offsets.shape[:2]
     mag = jnp.sqrt(jnp.square(offsets[..., 0]) + jnp.square(offsets[..., 1]))
     weak = (mag < thresh) & (fg > 0)
@@ -61,8 +74,11 @@ def cluster_peaks(offsets: jnp.ndarray, fg: jnp.ndarray, thresh: float = 2.5,
     accept = accept.at[H * W].set(False)
     sel = select_components(accept, max_peaks)
     valid = accept[sel]
-    return (jnp.floor(cy[sel]).astype(jnp.int32),
-            jnp.floor(cx[sel]).astype(jnp.int32), valid)
+    out = (jnp.floor(cy[sel]).astype(jnp.int32),
+           jnp.floor(cx[sel]).astype(jnp.int32), valid)
+    if with_count:
+        return out + (jnp.sum(accept.astype(jnp.int32)),)
+    return out
 
 
 @partial(jax.jit, static_argnames=("chunk",))

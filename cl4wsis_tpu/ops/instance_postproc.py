@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 
 from cl4wsis_tpu.ops.cc import component_stats, connected_components
-from cl4wsis_tpu.ops.grouping import assign_pixels, cluster_peaks, find_instance_centers
+from cl4wsis_tpu.ops.grouping import (assign_pixels, cluster_peaks,
+                                      count_nms_peaks, find_instance_centers)
 from cl4wsis_tpu.ops.pseudo_labels import MINIMUM_MASK_SIZE
 
 
@@ -69,6 +70,14 @@ def get_ins_map(seg_prob: jnp.ndarray, center_map: jnp.ndarray,
         c_ys, c_xs, c_valid = cluster_peaks(offset_map, fg, beta=beta,
                                             max_peaks=max_cluster,
                                             cc_iters=cc_iters)
+        # NMS centers beyond the slot cap are silently dropped relative to
+        # the reference's top_k=10000 (train.py:497); count them so callers
+        # can surface saturation instead of hiding it. Cluster slots are NOT
+        # counted: cluster candidates within 100px of an NMS center are
+        # rejected by the merge rule below on both sides, so overflow there
+        # is almost never a real loss (PARITY.md "slot caps").
+        truncated = jnp.maximum(
+            count_nms_peaks(ch, val_thresh, val_kernel) - max_ctr, 0)
         c_root = roots[c_ys, c_xs]
         c_valid = c_valid & (ch[c_ys, c_xs] > 0.05) & (c_root != HW) & comp_ok[c_root]
         d2 = (jnp.square(c_ys[:, None] - n_ys[None, :]).astype(jnp.float32) +
@@ -101,9 +110,10 @@ def get_ins_map(seg_prob: jnp.ndarray, center_map: jnp.ndarray,
         # (dataset/utils.py:885-887)
         center_score = jnp.where(center_score >= 1.0, seg_score, center_score)
         score = center_score * seg_score
-        return assign, score, slot_ok
+        return assign, score, slot_ok, truncated
 
-    assign_all, score_all, ok_all = jax.lax.map(per_class, jnp.arange(num_classes))
+    assign_all, score_all, ok_all, trunc_all = jax.lax.map(
+        per_class, jnp.arange(num_classes))
 
     # flatten per-class slot ids into global ids; class fg maps are disjoint
     # so at most one class assigns any pixel
@@ -113,4 +123,5 @@ def get_ins_map(seg_prob: jnp.ndarray, center_map: jnp.ndarray,
 
     label = jnp.repeat(jnp.arange(num_classes, dtype=jnp.int32), S)
     return {"ins_map": ins_map, "label": label,
-            "score": score_all.reshape(-1), "valid": ok_all.reshape(-1)}
+            "score": score_all.reshape(-1), "valid": ok_all.reshape(-1),
+            "truncated": jnp.sum(trunc_all)}

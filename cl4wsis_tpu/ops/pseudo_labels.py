@@ -54,7 +54,10 @@ def pseudo_label_generation(seg_map: jnp.ndarray,
         so skipping them is exact and saves their CC/matching work).
 
     Returns:
-      center (H, W, C), offset (H, W, 2), weight (H, W, 1), total_match ().
+      center (H, W, C), offset (H, W, 2), weight (H, W, 1), total_match (),
+      truncated () — accepted components beyond the per-class `max_comp`
+      stamping slots (offset/weight maps are exact regardless; only the
+      gaussian stamp is slot-capped — reference is unbounded).
     """
     H, W = seg_map.shape
     ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
@@ -90,8 +93,9 @@ def pseudo_label_generation(seg_map: jnp.ndarray,
         n_match = jnp.sum(accept.astype(jnp.int32))
         return (off_y, off_x, weight, cy[sel], cx[sel], valid, n_match)
 
-    off_y, off_x, weight, sel_cy, sel_cx, sel_valid, n_match = jax.lax.map(
+    (off_y, off_x, weight, sel_cy, sel_cx, sel_valid, n_match) = jax.lax.map(
         per_class, jnp.arange(first_class, num_classes))
+    truncated = jnp.sum(jnp.maximum(n_match - max_comp, 0))
 
     # merge per-class pixel maps (class fg masks are disjoint)
     offset = jnp.stack([jnp.sum(off_y, 0), jnp.sum(off_x, 0)], axis=-1)
@@ -101,4 +105,4 @@ def pseudo_label_generation(seg_map: jnp.ndarray,
     center = stamp_centers(sel_valid.reshape(-1), sel_cy.reshape(-1),
                            sel_cx.reshape(-1), cls_ids, num_classes, sigma,
                            (H, W))
-    return center, offset, weight_map, jnp.sum(n_match)
+    return center, offset, weight_map, jnp.sum(n_match), truncated

@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 
 from cl4wsis_tpu.ops.cc import component_stats, connected_components
-from cl4wsis_tpu.ops.grouping import assign_pixels, cluster_peaks, find_instance_centers
+from cl4wsis_tpu.ops.grouping import (assign_pixels, cluster_peaks,
+                                      count_nms_peaks, find_instance_centers)
 from cl4wsis_tpu.ops.labelgen import stamp_centers
 from cl4wsis_tpu.ops.pseudo_labels import MAXIMUM_NUM_INST, MINIMUM_MASK_SIZE
 
@@ -82,6 +83,10 @@ def refine_label_generation(seg_probs: jnp.ndarray, center_map: jnp.ndarray,
         c_ys, c_xs, c_valid = cluster_peaks(offset_map, fg, beta=beta,
                                             max_peaks=max_cluster,
                                             cc_iters=cc_iters)
+        # NMS-slot saturation vs the reference's unbounded top_k (cluster
+        # slots not counted — see ops/instance_postproc.py rationale)
+        truncated = jnp.maximum(
+            count_nms_peaks(ch, refine_thresh, nms_kernel) - max_ctr, 0)
         c_root = roots[c_ys, c_xs]
         c_valid = c_valid & (ch[c_ys, c_xs] > 0.05) & (c_root != HW) & comp_ok[c_root]
         # merge rule: accept a cluster center only if >100px from every NMS
@@ -154,9 +159,10 @@ def refine_label_generation(seg_probs: jnp.ndarray, center_map: jnp.ndarray,
         live_px = slot_live[assign]
         off_y = (slot_y[assign] - ys) * live_px
         off_x = (slot_x[assign] - xs) * live_px
-        return (off_y, off_x, w_px, out_y, out_x, slot_ok & active, is_cluster)
+        return (off_y, off_x, w_px, out_y, out_x, slot_ok & active, is_cluster,
+                truncated)
 
-    (off_y, off_x, w_px, sel_y, sel_x, sel_ok, _) = jax.lax.map(
+    (off_y, off_x, w_px, sel_y, sel_x, sel_ok, _, trunc) = jax.lax.map(
         per_class, jnp.arange(first_class, num_classes))
 
     offset = jnp.stack([jnp.sum(off_y, 0), jnp.sum(off_x, 0)], axis=-1)
@@ -165,4 +171,5 @@ def refine_label_generation(seg_probs: jnp.ndarray, center_map: jnp.ndarray,
     center = stamp_centers(sel_ok.reshape(-1), sel_y.reshape(-1),
                            sel_x.reshape(-1), cls_ids, num_classes, sigma,
                            (H, W))
-    return {"center": center, "offset": offset, "weight": weight}
+    return {"center": center, "offset": offset, "weight": weight,
+            "truncated": jnp.sum(trunc)}

@@ -62,15 +62,18 @@ class Predictor:
 
     def __init__(self, model, variables, *, val_thresh: float = 0.1,
                  val_kernel: int = 41, beta: float = 3.0,
-                 val_flip: bool = False,
-                 size_buckets: Sequence[int] = (512,)):
+                 val_flip: bool = False, bucket_multiple: int = 64,
+                 size_buckets: Optional[Sequence[int]] = None):
         import jax
 
         self.model = model
         self.variables = jax.device_put(variables)
         self.n_things = model.tot_classes - 1
-        self.size_buckets = sorted(size_buckets)
-        self._fns: Dict[Tuple[int, int], Any] = {}
+        # back-compat: a size_buckets list collapses to its granularity
+        if size_buckets:
+            bucket_multiple = int(min(size_buckets))
+        self.bucket_multiple = bucket_multiple
+        self._fns: Dict[str, Any] = {}
         self.val_thresh = val_thresh
         self.val_kernel = val_kernel
         self.beta = beta
@@ -94,26 +97,17 @@ class Predictor:
                                   "float32": jnp.float32}[dtype])
         return cls(model, variables, **kw)
 
-    def _bucket(self, h: int, w: int) -> Tuple[int, int]:
-        """Pad target: smallest bucket >= max(h, w) (or the largest)."""
-        m = max(h, w)
-        for b in self.size_buckets:
-            if b >= m:
-                return (b, b)
-        return (self.size_buckets[-1],) * 2
-
-    def _fn(self, shape: Tuple[int, int]):
-        if shape in self._fns:
-            return self._fns[shape]
-        import jax
-
-        from cl4wsis_tpu.train.eval import make_eval_forward
-        fwd = make_eval_forward(self.model, self.variables, self.n_things,
-                                val_flip=self.val_flip,
-                                val_thresh=self.val_thresh,
-                                val_kernel=self.val_kernel, beta=self.beta)
-        self._fns[shape] = fwd
-        return fwd
+    def _fn(self):
+        if self._fns.get("fwd") is None:
+            from cl4wsis_tpu.train.eval import make_eval_forward
+            # the shared bucketed eval path pads to a bucket, masks the pad
+            # region to background (no spurious pad instances), and crops
+            self._fns["fwd"] = make_eval_forward(
+                self.model, self.variables, self.n_things,
+                val_flip=self.val_flip, val_thresh=self.val_thresh,
+                val_kernel=self.val_kernel, beta=self.beta,
+                bucket_multiple=self.bucket_multiple)
+        return self._fns["fwd"]
 
     def __call__(self, image: np.ndarray) -> InstancePrediction:
         """image: (H, W, 3) uint8 or float in [0,1] or pre-normalized."""
@@ -127,12 +121,8 @@ class Predictor:
         if image.min() >= 0.0:  # normalize if still in [0,1]
             image = (image - IMAGENET_MEAN) / IMAGENET_STD
 
-        bh, bw = self._bucket(h, w)
-        padded = np.zeros((bh, bw, 3), np.float32)
-        padded[:h, :w] = image
-        fwd = self._fn((bh, bw))
-        out = fwd(jnp.asarray(padded[None]), (bh, bw))
-        ins = np.asarray(out["ins_map"])[:h, :w]
+        out = self._fn()(jnp.asarray(image[None], jnp.float32), (h, w))
+        ins = np.asarray(out["ins_map"])
         # semantic map from the instance labels (slot -> class + 1)
         labels = np.asarray(out["label"])
         seg = np.where(ins >= 0, labels[np.clip(ins, 0, None)] + 1, 0)

@@ -48,6 +48,9 @@ def make_phase2_train_step(model, model_old, pseudolabeler, peakgenerator,
                            beta: float = 3.0,
                            run_refine: bool = True,
                            max_peaks: int = 25,
+                           max_ctr: int = 16,
+                           max_cluster: int = 8,
+                           max_comp: int = 32,
                            cc_iters: int = 64) -> Callable:
     """Build the phase-2 step.
 
@@ -116,20 +119,24 @@ def make_phase2_train_step(model, model_old, pseudolabeler, peakgenerator,
         # ---- pseudo labels (device label factory) -------------------------
         # only NEW classes can produce labels (old cls_label entries are 0),
         # so skip the old classes' CC/matching work entirely
-        pc, po, pw, _ = jax.vmap(
+        pc, po, pw, _, p_trunc = jax.vmap(
             partial(pseudo_label_generation, num_classes=n_things,
-                    sigma=sigma, cc_iters=cc_iters, first_class=old_things))(
+                    sigma=sigma, max_comp=max_comp, cc_iters=cc_iters,
+                    first_class=old_things))(
             seg_gt, peak_ys, peak_xs, peak_valid, cls_label)
+        label_truncated = jnp.sum(p_trunc)
 
         # ---- self-refinement ----------------------------------------------
         if run_refine:
             refined = jax.vmap(
                 partial(refine_label_generation, num_classes=n_things,
                         sigma=sigma, refine_thresh=refine_thresh,
-                        nms_kernel=nms_kernel, beta=beta, cc_iters=cc_iters,
+                        nms_kernel=nms_kernel, beta=beta, max_ctr=max_ctr,
+                        max_cluster=max_cluster, cc_iters=cc_iters,
                         first_class=old_things))(
                 soft, jax.lax.stop_gradient(center_out),
                 jax.lax.stop_gradient(offset_out), cls_label, seg_gt)
+            label_truncated = label_truncated + jnp.sum(refined["truncated"])
             pw_sum = jnp.maximum(old_fg, pw)
             pc_new = pw * pc[..., old_things:] + \
                 (1 - pw) * refined["center"][..., old_things:]
@@ -154,7 +161,11 @@ def make_phase2_train_step(model, model_old, pseudolabeler, peakgenerator,
         l_offset = offset_loss_1 + offset_loss_2
         loss = l_center + l_offset
         metrics = {"loss": loss, "l_center": l_center, "l_offset": l_offset,
-                   "pseudo_weight_px": jnp.sum(pw)}
+                   "pseudo_weight_px": jnp.sum(pw),
+                   # label-factory slot-cap saturation this step (0 = the
+                   # static caps lost nothing vs the reference's unbounded
+                   # label factory; see PARITY.md "slot caps")
+                   "label_truncated": label_truncated}
         return loss, (model_stats["batch_stats"], metrics)
 
     @partial(jax.jit, donate_argnums=0)
@@ -183,9 +194,18 @@ def _deep_merge(base, update):
     return update
 
 
-def bench_phase2(batch_size: int = 16, size: int = 512, steps: int = 20):
+def bench_phase2(batch_size: int = 16, size: int = 512, steps: int = 20,
+                 n_batches: int = 4):
     """Throughput bench for the BASELINE.md north-star config (VOC 15-5
-    phase-2 shaped). Returns (images/sec, tag)."""
+    phase-2 shaped).
+
+    Streams ``n_batches`` DISTINCT pre-transferred batches round-robin (no
+    single cached-batch artifact) and reports the XLA-compiled program's own
+    FLOP estimate so the caller can derive TFLOP/s and implied MFU.
+
+    Returns a dict: {img_s, tag, flops_per_step, batch_size, steps, dt}.
+    """
+    import os
     import time
 
     from cl4wsis_tpu.data.synthetic import synthetic_batches
@@ -224,16 +244,46 @@ def bench_phase2(batch_size: int = 16, size: int = 512, steps: int = 20):
     step = make_phase2_train_step(model, model_old, pl_mod, pg_mod, tx,
                                   old_classes=OLD)
 
-    b = next(synthetic_batches(batch_size, size, n_classes=TOT - 1, seed=0,
-                               n_batches=1))
-    batch = {"image": jnp.asarray(b["image"], dtype),
-             "l1h": jnp.asarray(b["l1h"][:, 1:])}
+    batches = []
+    for b in synthetic_batches(batch_size, size, n_classes=TOT - 1, seed=0,
+                               n_batches=n_batches):
+        batches.append({"image": jax.device_put(jnp.asarray(b["image"], dtype)),
+                        "l1h": jax.device_put(jnp.asarray(b["l1h"][:, 1:]))})
     rng = jax.random.PRNGKey(3)
-    state, m = step(state, batch, ov, aux_vars, rng)
+
+    # compile once explicitly so we can pull XLA's own FLOP estimate
+    lowered = step.lower(state, batches[0], ov, aux_vars, rng)
+    compiled = lowered.compile()
+    flops = _cost_analysis_flops(compiled)
+
+    state, m = step(state, batches[0], ov, aux_vars, rng)
     jax.block_until_ready(m["loss"])
-    t0 = time.perf_counter()
-    for i in range(steps):
-        state, m = step(state, batch, ov, aux_vars, jax.random.fold_in(rng, i))
-    jax.block_until_ready(m["loss"])
-    dt = time.perf_counter() - t0
-    return batch_size * steps / dt, "phase2"
+
+    import contextlib
+    profile_dir = os.environ.get("CL4WSIS_BENCH_PROFILE", "")
+    ctx = (jax.profiler.trace(profile_dir) if profile_dir
+           else contextlib.nullcontext())
+    with ctx:
+        t0 = time.perf_counter()
+        for i in range(steps):
+            state, m = step(state, batches[i % n_batches], ov, aux_vars,
+                            jax.random.fold_in(rng, i))
+        jax.block_until_ready(m["loss"])
+        dt = time.perf_counter() - t0
+    return {"img_s": batch_size * steps / dt, "tag": "phase2",
+            "flops_per_step": flops, "batch_size": batch_size,
+            "steps": steps, "dt": dt}
+
+
+def _cost_analysis_flops(compiled):
+    """Pull the per-execution FLOP estimate from a compiled XLA program.
+
+    Returns 0.0 when the backend doesn't expose cost analysis (callers must
+    treat 0 as unknown, not free)."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):  # older jax: one dict per device
+            ca = ca[0] if ca else {}
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return 0.0

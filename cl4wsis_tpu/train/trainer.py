@@ -188,7 +188,9 @@ class Trainer:
                     self.peakgenerator, self.tx, self.old_classes,
                     sigma=cfg.sigma, pseudo_thresh=cfg.pseudo_thresh,
                     refine_thresh=cfg.refine_thresh, nms_kernel=cfg.kernel,
-                    beta=cfg.beta, run_refine=cfg.run_refine)
+                    beta=cfg.beta, run_refine=cfg.run_refine,
+                    max_ctr=cfg.max_ctr, max_cluster=cfg.max_cluster,
+                    max_comp=cfg.max_comp)
             return self._train_steps["p2"]
         if "p0" not in self._train_steps:
             # reference default (no --bce/--dce) is nn.BCEWithLogitsLoss on a
@@ -231,9 +233,8 @@ class Trainer:
         if cfg.profile_dir and epoch == 0:
             from cl4wsis_tpu.utils.logging import StepTimer
             timer = StepTimer(cfg.profile_dir, trace_steps=range(2, 5))
-        for i, batch_np in enumerate(batches):
+        for i, batch in enumerate(self._prefetch_device(batches)):
             rng, sub = jax.random.split(rng)
-            batch = self._device_batch(batch_np)
             if timer is not None:
                 timer.start_step(i)
             if phase == 1:
@@ -275,6 +276,18 @@ class Trainer:
         if timer is not None:
             metrics.update({f"step_{k}": v for k, v in timer.summary().items()})
         return metrics
+
+    def _prefetch_device(self, batches, size: int = 2):
+        """Start H2D transfers `size` batches ahead of the consuming step
+        (transfers are async; this hides copy latency behind compute)."""
+        from collections import deque
+        q: deque = deque()
+        for batch_np in batches:
+            q.append(self._device_batch(batch_np))
+            if len(q) > size:
+                yield q.popleft()
+        while q:
+            yield q.popleft()
 
     def _device_batch(self, batch_np: Dict[str, np.ndarray]):
         cfg = self.cfg

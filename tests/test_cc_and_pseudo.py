@@ -171,7 +171,7 @@ def test_pseudo_label_generation_matches_reference():
 
     cls_label = np.array([0, 1, 1, 1], np.float32)
 
-    c, o, w, m = pseudo_label_generation(
+    c, o, w, m, _ = pseudo_label_generation(
         jnp.asarray(seg), jnp.asarray(peak_ys), jnp.asarray(peak_xs),
         jnp.asarray(peak_valid), jnp.asarray(cls_label),
         num_classes=C, sigma=3, max_comp=8)

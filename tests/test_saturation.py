@@ -1,0 +1,86 @@
+"""Slot-cap saturation (VERDICT r1 item 8): crowded scenes vs the static
+slot caps. The reference's label factory / eval post-processing is unbounded
+(top_k=10000, train.py:497); our static-shape device ops cap slots per class
+and must (a) not lose instances below the cap, (b) COUNT what they drop
+above it instead of truncating silently."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from cl4wsis_tpu.ops.instance_postproc import get_ins_map
+from cl4wsis_tpu.ops.pseudo_labels import pseudo_label_generation
+
+
+def _crowded_scene(n_rows=5, n_cols=5, spacing=32, blob=4):
+    """n_rows*n_cols instances of class 1 on a regular grid."""
+    H, W = n_rows * spacing, n_cols * spacing
+    seg_prob = np.zeros((H, W, 2 + 1), np.float32)
+    seg_prob[..., 0] = 1.0
+    center = np.zeros((H, W, 2), np.float32)
+    offset = np.zeros((H, W, 2), np.float32)
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    centers = [(spacing // 2 + i * spacing, spacing // 2 + j * spacing)
+               for i in range(n_rows) for j in range(n_cols)]
+    for cy, cx in centers:
+        m = (np.abs(yy - cy) <= blob) & (np.abs(xx - cx) <= blob)
+        seg_prob[..., 1][m] = 1.0
+        seg_prob[..., 0][m] = 0.0
+        center[..., 0] = np.maximum(
+            center[..., 0], np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / 8.0))
+        offset[..., 0][m] = (cy - yy)[m]
+        offset[..., 1][m] = (cx - xx)[m]
+    return seg_prob, center, offset, len(centers)
+
+
+def test_get_ins_map_crowded_scene_no_truncation_at_32():
+    seg_prob, center, offset, n = _crowded_scene()
+    assert n == 25
+    out = get_ins_map(jnp.asarray(seg_prob), jnp.asarray(center),
+                      jnp.asarray(offset), num_classes=2, val_kernel=15,
+                      max_ctr=32)
+    assert int(np.asarray(out["valid"]).sum()) == n
+    assert int(out["truncated"]) == 0
+    ins = np.asarray(out["ins_map"])
+    assert len(np.unique(ins[ins >= 0])) == n
+
+
+def test_get_ins_map_crowded_scene_counts_truncation_at_16():
+    seg_prob, center, offset, n = _crowded_scene()
+    out = get_ins_map(jnp.asarray(seg_prob), jnp.asarray(center),
+                      jnp.asarray(offset), num_classes=2, val_kernel=15,
+                      max_ctr=16)
+    assert int(np.asarray(out["valid"]).sum()) == 16
+    assert int(out["truncated"]) == n - 16   # nothing dropped silently
+
+
+def test_pseudo_label_generation_counts_stamp_truncation():
+    """40 one-peak components with max_comp=32: offsets/weights stay exact
+    for all 40 (the cap only bounds gaussian stamping); truncated == 8."""
+    n_rows, n_cols, spacing = 5, 8, 32
+    H, W = n_rows * spacing, n_cols * spacing
+    seg = np.zeros((H, W), np.int32)
+    K = n_rows * n_cols
+    peak_ys = np.zeros((2, K), np.int32)
+    peak_xs = np.zeros((2, K), np.int32)
+    peak_valid = np.zeros((2, K), bool)
+    k = 0
+    for i in range(n_rows):
+        for j in range(n_cols):
+            cy, cx = spacing // 2 + i * spacing, spacing // 2 + j * spacing
+            seg[cy - 3:cy + 4, cx - 3:cx + 4] = 2   # class idx 1, 49 px
+            peak_ys[1, k], peak_xs[1, k], peak_valid[1, k] = cy, cx, True
+            k += 1
+    cls_label = np.array([0, 1], np.float32)
+
+    c, o, w, m, trunc = pseudo_label_generation(
+        jnp.asarray(seg), jnp.asarray(peak_ys), jnp.asarray(peak_xs),
+        jnp.asarray(peak_valid), jnp.asarray(cls_label),
+        num_classes=2, sigma=3, max_comp=32)
+
+    assert int(m) == K
+    assert int(trunc) == K - 32
+    # every component keeps weight 1 and exact offsets regardless of the cap
+    assert int(np.asarray(w).sum()) == K * 49
+    # stamped gaussians: exactly 32 components got a center peak ~1
+    n_peaks = int((np.asarray(c)[..., 1] > 0.99).sum())
+    assert n_peaks == 32
