@@ -199,6 +199,23 @@ def main():
             out["implied_mfu"] = round(tflops_s / peak, 3)
             if tflops_s > peak:
                 out["suspect_timing"] = True
+
+    # profiler ground truth: when a trace was captured, derive step time
+    # from what the DEVICE actually executed instead of the tunnel's clock
+    profile_dir = os.environ.get("CL4WSIS_BENCH_PROFILE", "")
+    if profile_dir:
+        try:
+            from cl4wsis_tpu.utils.device_time import device_time_report
+            rep = device_time_report(profile_dir)
+            if rep["device_busy_s"] > 0:
+                dev_s = rep["device_busy_s"] / r["steps"]
+                out["device_step_time_s"] = round(dev_s, 4)
+                out["device_img_s"] = round(r["batch_size"] / dev_s, 2)
+                if r["flops_per_step"] > 0 and peak:
+                    out["device_mfu"] = round(
+                        r["flops_per_step"] / dev_s / 1e12 / peak, 3)
+        except Exception as e:  # trace formats vary; never fail the bench
+            out["device_time_error"] = type(e).__name__
     print(json.dumps(out))
 
 

@@ -241,8 +241,9 @@ def bench_phase2(batch_size: int = 16, size: int = 512, steps: int = 20,
         group_fn=lambda p: schedule.default_group_fn(p.split("/", 1)[1]))
     state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                        batch_stats=stats, opt_state=tx.init(params))
+    cc_iters = int(os.environ.get("CL4WSIS_BENCH_CC_ITERS", "64"))
     step = make_phase2_train_step(model, model_old, pl_mod, pg_mod, tx,
-                                  old_classes=OLD)
+                                  old_classes=OLD, cc_iters=cc_iters)
 
     batches = []
     for b in synthetic_batches(batch_size, size, n_classes=TOT - 1, seed=0,
