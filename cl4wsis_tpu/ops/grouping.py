@@ -81,6 +81,59 @@ def cluster_peaks(offsets: jnp.ndarray, fg: jnp.ndarray, thresh: float = 2.5,
     return out
 
 
+@partial(jax.jit, static_argnames=("k_per_root",))
+def assign_pixels_roottable(ctr_y: jnp.ndarray, ctr_x: jnp.ndarray,
+                            ctr_valid: jnp.ndarray, ctr_root: jnp.ndarray,
+                            offsets: jnp.ndarray, pixel_root: jnp.ndarray,
+                            k_per_root: int = 8) -> jnp.ndarray:
+    """assign_pixels via a per-ROOT slot table: each pixel competes only
+    among its own component's centers, gathered from a (HW+2, K) table —
+    K distance evaluations per pixel instead of a scan over all S slots.
+
+    EXACT equivalence to assign_pixels requires every root to hold at most
+    `k_per_root` valid centers — guaranteed when the MAXIMUM_NUM_INST cap
+    ran (<= 5 valid centers per component, ops/refine.py). This is the
+    phase-2 train hot path; the round-2 device trace showed the chunked
+    slot scan costing ~60% of the whole step.
+    """
+    S = ctr_y.shape[0]
+    H, W = pixel_root.shape
+    HW = H * W
+    idx = jnp.arange(S)
+    # rank of each valid slot within its root (ties by slot order, matching
+    # the scan's argmin tie-break only when ranks are complete — K covers
+    # all valid slots of a root, so every candidate is present)
+    same = (ctr_valid[None, :] & ctr_valid[:, None] &
+            (ctr_root[:, None] == ctr_root[None, :]))
+    rank = jnp.sum(same & (idx[None, :] < idx[:, None]), axis=1)
+    ok = ctr_valid & (rank < k_per_root)
+    # one PACKED table entry per candidate: slot_id * HW + (y*W + x).
+    # One int32 gather then fetches id+coords together — per-pixel row
+    # gathers are the dominant cost of this op on TPU, so fetch once.
+    packed_none = jnp.int32(S) * HW
+    entry = (idx * HW + ctr_y * W + ctr_x).astype(jnp.int32)
+    pos = jnp.where(ok, ctr_root * k_per_root + rank,
+                    (HW + 1) * k_per_root)
+    table = jnp.full(((HW + 2) * k_per_root,), packed_none, jnp.int32)
+    table = table.at[pos].set(jnp.where(ok, entry, packed_none))
+    # per-pixel: gather own root's K candidates, pick nearest
+    rows = table.reshape(HW + 2, k_per_root)[pixel_root.reshape(-1)]
+    slot = rows // HW
+    yx = rows - slot * HW
+    cy = (yx // W).astype(jnp.float32)
+    cx = (yx % W).astype(jnp.float32)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    loc_y = (ys + offsets[..., 0]).reshape(-1)
+    loc_x = (xs + offsets[..., 1]).reshape(-1)
+    d = (jnp.square(loc_y[:, None] - cy) + jnp.square(loc_x[:, None] - cx))
+    d = jnp.where(slot < S, d, jnp.inf)
+    j = jnp.argmin(d, axis=1)
+    best = jnp.take_along_axis(slot, j[:, None], axis=1)[:, 0]
+    has = jnp.isfinite(jnp.take_along_axis(d, j[:, None], axis=1)[:, 0])
+    return jnp.where(has, best, S).astype(jnp.int32).reshape(H, W)
+
+
 @partial(jax.jit, static_argnames=("chunk",))
 def assign_pixels(ctr_y: jnp.ndarray, ctr_x: jnp.ndarray, ctr_valid: jnp.ndarray,
                   ctr_root: jnp.ndarray, offsets: jnp.ndarray,

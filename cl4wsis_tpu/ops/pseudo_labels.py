@@ -9,9 +9,12 @@ their (integer) centroid, offsets-to-centroid, and weight 1.
 
 The reference runs this as a per-image per-class Python loop over
 cv2.connectedComponentsWithStats (the phase-2 bottleneck, SURVEY.md §3.4);
-here it is one static-shape XLA program: per-class CC via label propagation,
-peak counting and per-component stats via segment sums keyed by component
-roots, and gaussian stamping via a fixed-slot scan.
+here it is one static-shape XLA program. Since class regions of an argmax
+map are DISJOINT, all classes are labeled in a single multi-label
+fixpoint pass (ops/cc.py connected_components_multilabel) — the round-2
+device trace showed per-class CC loops dominating the whole phase-2 step,
+so there is exactly ONE label-propagation loop here, and peak matching /
+stats / stamping are global segment ops over component roots.
 """
 
 from __future__ import annotations
@@ -22,7 +25,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from cl4wsis_tpu.ops.cc import (component_stats, connected_components,
+from cl4wsis_tpu.ops.cc import (component_stats,
+                                connected_components_multilabel,
                                 select_components)
 from cl4wsis_tpu.ops.labelgen import stamp_centers
 
@@ -37,9 +41,9 @@ def pseudo_label_generation(seg_map: jnp.ndarray,
                             peak_valid: jnp.ndarray,
                             cls_label: jnp.ndarray,
                             num_classes: int, sigma: int = 6,
-                            max_comp: int = 32, cc_iters: int = 64,
+                            max_comp: int = 64, cc_iters: int = 64,
                             first_class: int = 0
-                            ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+                            ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One sample.
 
     Args:
@@ -49,60 +53,59 @@ def pseudo_label_generation(seg_map: jnp.ndarray,
       cls_label: (C,) float/bool — image-level labels for NEW thing classes
         (old entries zeroed by the caller, ``train.py:448-449``).
       num_classes: number of thing classes C (= tot_classes - 1).
-      first_class: skip classes below this index entirely (phase 2 only
+      first_class: ignore classes below this index entirely (phase 2 only
         generates labels for NEW classes — old entries of cls_label are 0,
-        so skipping them is exact and saves their CC/matching work).
+        so ignoring them is exact).
 
     Returns:
       center (H, W, C), offset (H, W, 2), weight (H, W, 1), total_match (),
-      truncated () — accepted components beyond the per-class `max_comp`
-      stamping slots (offset/weight maps are exact regardless; only the
+      truncated () — accepted components beyond the `max_comp` stamping
+      slots PER IMAGE (offset/weight maps are exact regardless; only the
       gaussian stamp is slot-capped — reference is unbounded).
     """
     H, W = seg_map.shape
+    HW = H * W
     ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
     xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
 
-    def per_class(cls_idx):
-        active = cls_label[cls_idx] > 0
-        mask = (seg_map == cls_idx + 1) & active
-        roots = connected_components(mask, connectivity=8, num_iters=cc_iters)
-        area, cy, cx = component_stats(roots)
+    # zero out pixels of inactive / skipped classes, then label every
+    # class's components in ONE pass
+    lab_ok = jnp.zeros((num_classes + 1,), bool).at[1:].set(
+        (cls_label > 0) & (jnp.arange(num_classes) >= first_class))
+    eff = jnp.where(lab_ok[seg_map], seg_map, 0).astype(jnp.int32)
+    roots = connected_components_multilabel(eff, connectivity=8,
+                                            num_iters=cc_iters)
+    area, cy, cx = component_stats(roots)
 
-        # count this class's valid peaks inside each component
-        py, px = peak_ys[cls_idx], peak_xs[cls_idx]
-        peak_roots = roots[py, px]  # (K,) root under each peak (HW if bg)
-        ok = peak_valid[cls_idx]
-        counts = jax.ops.segment_sum(ok.astype(jnp.int32), peak_roots,
-                                     num_segments=H * W + 1)
+    # count valid peaks per component: peak (c, k) counts iff valid AND it
+    # lands on a pixel of class c+1 (components are class-pure, so the
+    # per-root count equals the reference's per-class in-component count)
+    py = peak_ys.reshape(-1)
+    px = peak_xs.reshape(-1)
+    pcls = jnp.repeat(jnp.arange(num_classes), peak_ys.shape[1])
+    ok = peak_valid.reshape(-1) & (eff[py, px] == pcls + 1)
+    proots = jnp.where(ok, roots[py, px], HW)
+    counts = jax.ops.segment_sum(ok.astype(jnp.int32), proots,
+                                 num_segments=HW + 1)
 
-        accept = (counts == 1) & (area >= MINIMUM_MASK_SIZE)
-        accept = accept.at[H * W].set(False)
+    accept = (counts == 1) & (area >= MINIMUM_MASK_SIZE)
+    accept = accept.at[HW].set(False)
 
-        # per-pixel component properties
-        acc_px = accept[roots]
-        icy = jnp.floor(cy[roots])   # int centroid, reference uses int(centroid)
-        icx = jnp.floor(cx[roots])
-        off_y = (icy - ys) * acc_px
-        off_x = (icx - xs) * acc_px
-        weight = acc_px.astype(jnp.float32)
+    # per-pixel component properties
+    acc_px = accept[roots]
+    off_y = (jnp.floor(cy[roots]) - ys) * acc_px  # int centroid, like the ref
+    off_x = (jnp.floor(cx[roots]) - xs) * acc_px
+    offset = jnp.stack([off_y, off_x], axis=-1)
+    weight_map = acc_px.astype(jnp.float32)[..., None]
 
-        # up to max_comp accepted components for gaussian stamping
-        sel = select_components(accept, max_comp)
-        valid = accept[sel]
-        n_match = jnp.sum(accept.astype(jnp.int32))
-        return (off_y, off_x, weight, cy[sel], cx[sel], valid, n_match)
-
-    (off_y, off_x, weight, sel_cy, sel_cx, sel_valid, n_match) = jax.lax.map(
-        per_class, jnp.arange(first_class, num_classes))
-    truncated = jnp.sum(jnp.maximum(n_match - max_comp, 0))
-
-    # merge per-class pixel maps (class fg masks are disjoint)
-    offset = jnp.stack([jnp.sum(off_y, 0), jnp.sum(off_x, 0)], axis=-1)
-    weight_map = jnp.sum(weight, 0)[..., None]
-
-    cls_ids = jnp.repeat(jnp.arange(first_class, num_classes), max_comp)
-    center = stamp_centers(sel_valid.reshape(-1), sel_cy.reshape(-1),
-                           sel_cx.reshape(-1), cls_ids, num_classes, sigma,
-                           (H, W))
-    return center, offset, weight_map, jnp.sum(n_match), truncated
+    # up to max_comp accepted components stamp gaussians; a root's class is
+    # its own pixel's class (roots are class-pure)
+    sel = select_components(accept, max_comp)
+    valid = accept[sel]
+    sel_cls = eff.reshape(-1)[jnp.where(sel < HW, sel, 0)] - 1
+    sel_cls = jnp.clip(sel_cls, 0, num_classes - 1)
+    center = stamp_centers(valid, cy[sel], cx[sel], sel_cls, num_classes,
+                           sigma, (H, W))
+    n_match = jnp.sum(accept.astype(jnp.int32))
+    truncated = jnp.maximum(n_match - max_comp, 0)
+    return center, offset, weight_map, n_match, truncated

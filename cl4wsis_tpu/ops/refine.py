@@ -8,12 +8,19 @@ assignment) and emit per-instance gaussians/offsets with confidence
 weights center_score x seg_score.
 
 The reference is a per-image, per-class, per-component Python/cv2 loop with
-batch=1-only helpers; here the per-component structure is encoded in center
-"roots" so one global grouping pass per image handles every class and
-component simultaneously (documented approximations vs the reference:
-NMS windows and offset-cluster blobs can straddle adjacent components of
-the same class, and the >MAXIMUM_NUM_INST check counts detected centers
-rather than surviving instance ids — all rare ties in practice).
+batch=1-only helpers. Here NOTHING loops over classes: the two fixpoint
+label propagations run once as multi-label passes (argmax class regions are
+disjoint — ops/cc.py connected_components_multilabel), NMS is one pooled
+pass over all class channels, and every class's center slots live in ONE
+global slot array so a single root-gated assignment + one set of segment
+ops produces the final maps. (Round-2 device traces showed first the
+per-class CC loops and then the per-class lax.map slot layer dominating the
+whole phase-2 step; both are gone.)
+
+Documented approximations vs the reference: NMS windows and offset-cluster
+blobs can straddle adjacent components of the same class, and the
+>MAXIMUM_NUM_INST check counts detected centers rather than surviving
+instance ids — all rare ties in practice.
 
 Defaults mirror the reference CLI: refine_thresh 0.3, nms kernel 41,
 beta 3, sigma 6 (``argparser.py:219-222``).
@@ -22,16 +29,149 @@ beta 3, sigma 6 (``argparser.py:219-222``).
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from cl4wsis_tpu.ops.cc import component_stats, connected_components
-from cl4wsis_tpu.ops.grouping import (assign_pixels, cluster_peaks,
-                                      count_nms_peaks, find_instance_centers)
+from cl4wsis_tpu.ops.cc import (component_stats,
+                                connected_components_multilabel,
+                                select_components)
+from cl4wsis_tpu.ops.grouping import assign_pixels_roottable
 from cl4wsis_tpu.ops.labelgen import stamp_centers
+from cl4wsis_tpu.ops.peaks import max_pool_same
 from cl4wsis_tpu.ops.pseudo_labels import MAXIMUM_NUM_INST, MINIMUM_MASK_SIZE
+
+
+def _global_center_slots(eff, roots, comp_ok, center_map, offset_map,
+                         threshold, nms_kernel, beta, max_ctr, max_cluster,
+                         cc_iters, num_classes, first_class=0,
+                         max_inst_cap=True):
+    """Center slots for every class in [first_class, num_classes) in one
+    flat array (NC = num_classes - first_class active-range classes).
+
+    Returns dict with (NC*max_ctr + NC*max_cluster,)-shaped slot arrays
+    (ys, xs, valid, root, cls — GLOBAL class ids), the spiked heatmap stack
+    (H, W, NC), and the NMS truncation count.
+    """
+    H, W = eff.shape
+    HW = H * W
+    classes = jnp.arange(first_class, num_classes)    # (NC,) global ids
+    nc = num_classes - first_class
+
+    # component-masked heatmaps + pooled NMS for every class in one pass
+    fg_all = eff[..., None] == (classes + 1)
+    ch_all = center_map[..., first_class:] * fg_all   # (H, W, NC)
+    x_nms = jnp.where(ch_all > threshold, ch_all, -1.0)
+    hmax = max_pool_same(x_nms[None], nms_kernel)[0]
+    x_nms = jnp.where(x_nms == hmax, x_nms, -1.0)     # survivors or -1
+    flat_nms = x_nms.transpose(2, 0, 1).reshape(nc, HW)
+    n_vals, n_idx = jax.lax.top_k(flat_nms, max_ctr)  # (C, max_ctr)
+    n_ys = (n_idx // W).astype(jnp.int32)
+    n_xs = (n_idx % W).astype(jnp.int32)
+    n_valid = n_vals > 0
+    n_root = roots[n_ys, n_xs]
+    n_valid = n_valid & (n_root != HW) & comp_ok[n_root]
+    # NMS centers beyond the slot cap are silently dropped relative to the
+    # reference's top_k=10000 (train.py:497); count them so callers surface
+    # saturation instead of hiding it. Cluster slots are NOT counted:
+    # cluster candidates within 100px of an NMS center are rejected by the
+    # merge rule below on both sides (PARITY.md "slot caps").
+    nms_counts = jnp.sum((flat_nms > 0).astype(jnp.int32), axis=1)
+    truncated = jnp.sum(jnp.maximum(nms_counts - max_ctr, 0))
+
+    # offset-cluster components (modules/utils.py:608-632), all classes in
+    # one multi-label pass
+    mag = jnp.sqrt(jnp.square(offset_map[..., 0]) +
+                   jnp.square(offset_map[..., 1]))
+    weak_eff = jnp.where(mag < 2.5, eff, 0)
+    roots_w = connected_components_multilabel(weak_eff, connectivity=4,
+                                              num_iters=cc_iters)
+    area_w, cyw, cxw = component_stats(roots_w)
+    accept_w = (area_w > 21 - beta) & (area_w < 21 + beta)
+    accept_w = accept_w.at[HW].set(False)
+    rc_w = jnp.where(jnp.arange(HW + 1) < HW,
+                     jnp.pad(eff.reshape(-1), (0, 1)), 0)  # root's class
+
+    def cluster_slots(cls_id):
+        acc = accept_w & (rc_w == cls_id + 1)
+        sel = select_components(acc, max_cluster)
+        return sel, acc[sel]
+
+    # per-class top-k over the (HW+1,) accept mask, batched via vmap
+    c_sel, c_acc = jax.vmap(cluster_slots)(classes)
+    c_ys = jnp.floor(cyw[c_sel]).astype(jnp.int32)    # (NC, max_cluster)
+    c_xs = jnp.floor(cxw[c_sel]).astype(jnp.int32)
+    c_root = roots[c_ys, c_xs]
+    ch_at = ch_all[c_ys, c_xs, jnp.arange(nc)[:, None]]
+    c_valid = c_acc & (ch_at > 0.05) & (c_root != HW) & comp_ok[c_root]
+    # merge rule: accept a cluster center only if >100px from every valid
+    # NMS center of the same component (same class by root purity)
+    d2 = (jnp.square(c_ys[:, :, None] - n_ys[:, None, :]).astype(jnp.float32) +
+          jnp.square(c_xs[:, :, None] - n_xs[:, None, :]))
+    same = n_valid[:, None, :] & (c_root[:, :, None] == n_root[:, None, :])
+    min_d = jnp.min(jnp.where(same, jnp.sqrt(d2), jnp.inf), axis=2)
+    c_valid = c_valid & (min_d > 100.0)
+
+    # the reference marks cluster centers as 1.0 spikes in the heatmap
+    # before reading the per-instance max (modules/utils.py:578-590)
+    ch_spiked = ch_all.at[c_ys, c_xs, jnp.arange(nc)[:, None]].set(
+        jnp.where(c_valid, 1.0, ch_at))
+
+    cls_ids = jnp.concatenate([
+        jnp.repeat(classes, max_ctr), jnp.repeat(classes, max_cluster)])
+    slots = {
+        "ys": jnp.concatenate([n_ys.reshape(-1), c_ys.reshape(-1)]),
+        "xs": jnp.concatenate([n_xs.reshape(-1), c_xs.reshape(-1)]),
+        "valid": jnp.concatenate([n_valid.reshape(-1), c_valid.reshape(-1)]),
+        "root": jnp.concatenate([n_root.reshape(-1), c_root.reshape(-1)]),
+        "cls": cls_ids,
+    }
+
+    if max_inst_cap:
+        # drop whole components with too many centers (reference refine
+        # skips the contour when n_ins > MAXIMUM_NUM_INST — train only; the
+        # eval get_ins_map has no such cap, dataset/utils.py:836-880).
+        # Roots are class-pure so one global per-root count matches the
+        # per-class rule. Side effect: every root then has <= MAX_INST
+        # valid centers, enabling the per-root table assignment.
+        per_root = jax.ops.segment_sum(
+            slots["valid"].astype(jnp.int32),
+            jnp.where(slots["valid"], slots["root"], HW),
+            num_segments=HW + 1)
+        slots["valid"] = slots["valid"] & (per_root[slots["root"]] <= MAXIMUM_NUM_INST)
+    return slots, ch_spiked, truncated
+
+
+def _slot_stats(slots, assign, eff, ch_spiked, seg_probs_things, n_slots,
+                first_class=0):
+    """Per-slot (npix, seg_score, center_score, argmax pixel) via ONE set of
+    segment ops keyed by the global slot assignment. `ch_spiked` and
+    `seg_probs_things` are sliced to the active class range."""
+    H, W = eff.shape
+    HW = H * W
+    assign_flat = assign.reshape(-1)
+    px_cls = jnp.clip(eff.reshape(-1) - 1 - first_class, 0)
+    # per-pixel heatmap/prob value of the pixel's OWN class channel
+    val = ch_spiked.reshape(HW, -1)[jnp.arange(HW), px_cls]
+    prob = seg_probs_things.reshape(HW, -1)[jnp.arange(HW), px_cls]
+    flat_idx = jnp.arange(HW, dtype=jnp.int32)
+
+    npix = jax.ops.segment_sum(jnp.ones((HW,)), assign_flat,
+                               num_segments=n_slots + 1)
+    psum = jax.ops.segment_sum(prob, assign_flat, num_segments=n_slots + 1)
+    seg_score = psum / jnp.maximum(npix, 1.0)
+    vmax = jax.ops.segment_max(
+        jnp.where(assign_flat < n_slots, val, -jnp.inf), assign_flat,
+        num_segments=n_slots + 1)
+    # argmax pixel (first max, ties by smallest flat index like torch)
+    at_max = val >= vmax[assign_flat] - 1e-12
+    pmax = -jax.ops.segment_max(
+        jnp.where(at_max, -flat_idx, -HW * 2), assign_flat,
+        num_segments=n_slots + 1)
+    py = (pmax // W).astype(jnp.float32)
+    px = (pmax % W).astype(jnp.float32)
+    return npix, seg_score, vmax, py, px
 
 
 @partial(jax.jit, static_argnames=(
@@ -55,121 +195,62 @@ def refine_label_generation(seg_probs: jnp.ndarray, center_map: jnp.ndarray,
       label: (C,) one-hot image-level label for NEW classes only.
       gt_seg: (H, W) int argmax seg with old classes zeroed.
 
-    Returns dict(center (H,W,C), offset (H,W,2), weight (H,W,1)).
+    Returns dict(center (H,W,C), offset (H,W,2), weight (H,W,1),
+    truncated () — NMS candidates beyond the per-class slot cap).
     """
     H, W = gt_seg.shape
     HW = H * W
-    S = max_ctr + max_cluster  # center slots per class
+    C = num_classes
+    n_slots = (C - first_class) * (max_ctr + max_cluster)
     ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
     xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
-    flat_idx = (ys * W + xs).reshape(-1).astype(jnp.int32)
 
-    def per_class(cls_idx):
-        active = label[cls_idx] > 0
-        fg = (gt_seg == cls_idx + 1) & active
-        roots = connected_components(fg, connectivity=8, num_iters=cc_iters)
-        area, comp_cy, comp_cx = component_stats(roots)
-        comp_ok = area >= MINIMUM_MASK_SIZE
+    # shared fixpoint pass: every class's components at once
+    lab_ok = jnp.zeros((C + 1,), bool).at[1:].set(
+        (label > 0) & (jnp.arange(C) >= first_class))
+    eff = jnp.where(lab_ok[gt_seg], gt_seg, 0).astype(jnp.int32)
+    roots = connected_components_multilabel(eff, connectivity=8,
+                                            num_iters=cc_iters)
+    area, comp_cy, comp_cx = component_stats(roots)
+    comp_ok = area >= MINIMUM_MASK_SIZE
 
-        ch = center_map[..., cls_idx] * fg  # component-masked heatmap (union)
+    slots, ch_spiked, truncated = _global_center_slots(
+        eff, roots, comp_ok, center_map, offset_map, refine_thresh,
+        nms_kernel, beta, max_ctr, max_cluster, cc_iters, C, first_class)
 
-        # NMS centers
-        n_ys, n_xs, n_valid = find_instance_centers(
-            ch, threshold=refine_thresh, nms_kernel=nms_kernel, max_ctr=max_ctr)
-        n_root = roots[n_ys, n_xs]
-        n_valid = n_valid & (n_root != HW) & comp_ok[n_root]
+    # ONE root-gated nearest-center assignment for every class's slots,
+    # via the per-root table (exact: the MAX_INST cap bounds valid centers
+    # per component at 5 <= k_per_root)
+    assign = assign_pixels_roottable(slots["ys"], slots["xs"],
+                                     slots["valid"], slots["root"],
+                                     offset_map, roots)
+    npix, seg_score, vmax, py, px = _slot_stats(
+        slots, assign, eff, ch_spiked, seg_probs[..., 1 + first_class:],
+        n_slots, first_class)
 
-        # offset-cluster centers, gated by heatmap > 0.05 at the centroid
-        c_ys, c_xs, c_valid = cluster_peaks(offset_map, fg, beta=beta,
-                                            max_peaks=max_cluster,
-                                            cc_iters=cc_iters)
-        # NMS-slot saturation vs the reference's unbounded top_k (cluster
-        # slots not counted — see ops/instance_postproc.py rationale)
-        truncated = jnp.maximum(
-            count_nms_peaks(ch, refine_thresh, nms_kernel) - max_ctr, 0)
-        c_root = roots[c_ys, c_xs]
-        c_valid = c_valid & (ch[c_ys, c_xs] > 0.05) & (c_root != HW) & comp_ok[c_root]
-        # merge rule: accept a cluster center only if >100px from every NMS
-        # center of the same component (or the component has none)
-        d2 = (jnp.square(c_ys[:, None] - n_ys[None, :]).astype(jnp.float32) +
-              jnp.square(c_xs[:, None] - n_xs[None, :]))
-        same = n_valid[None, :] & (c_root[:, None] == n_root[None, :])
-        min_d = jnp.min(jnp.where(same, jnp.sqrt(d2), jnp.inf), axis=1)
-        c_valid = c_valid & (min_d > 100.0)
+    center_score = vmax[:n_slots]
+    seg_score = seg_score[:n_slots]
+    slot_ok = slots["valid"] & (npix[:n_slots] > 0)
 
-        ctr_y = jnp.concatenate([n_ys, c_ys])
-        ctr_x = jnp.concatenate([n_xs, c_xs])
-        ctr_valid = jnp.concatenate([n_valid, c_valid])
-        ctr_root = jnp.concatenate([n_root, c_root])
-        is_cluster = jnp.concatenate([jnp.zeros_like(n_valid), c_valid])
+    use_seg_center = center_score < refine_thresh
+    out_y = jnp.where(use_seg_center,
+                      jnp.floor(comp_cy[slots["root"]]), py[:n_slots])
+    out_x = jnp.where(use_seg_center,
+                      jnp.floor(comp_cx[slots["root"]]), px[:n_slots])
+    conf = jnp.where(use_seg_center, seg_score, center_score * seg_score)
+    conf = jnp.clip(conf, 0.0, 1.0)
 
-        # drop whole components with too many centers (reference skips the
-        # contour when n_ins > MAXIMUM_NUM_INST)
-        per_root = jax.ops.segment_sum(ctr_valid.astype(jnp.int32),
-                                       jnp.where(ctr_valid, ctr_root, HW),
-                                       num_segments=HW + 1)
-        ctr_valid = ctr_valid & (per_root[ctr_root] <= MAXIMUM_NUM_INST)
+    # pixel maps: weight = conf of own slot, offsets toward slot center
+    slot_conf = jnp.concatenate([jnp.where(slot_ok, conf, 0.0), jnp.zeros((1,))])
+    slot_y = jnp.concatenate([out_y, jnp.zeros((1,))])
+    slot_x = jnp.concatenate([out_x, jnp.zeros((1,))])
+    slot_live = jnp.concatenate([slot_ok, jnp.zeros((1,), bool)])
+    weight = (slot_conf[assign] * slot_live[assign])[..., None]
+    live_px = slot_live[assign]
+    offset = jnp.stack([(slot_y[assign] - ys) * live_px,
+                        (slot_x[assign] - xs) * live_px], axis=-1)
 
-        # one assignment pass for this class
-        assign = assign_pixels(ctr_y, ctr_x, ctr_valid, ctr_root,
-                               offset_map, roots)  # (H,W) in [0..S]
-        assign_flat = assign.reshape(-1)
-
-        # per-slot stats over assigned pixels
-        # the reference marks cluster centers as 1.0 spikes in the heatmap
-        # before reading the per-instance max (modules/utils.py:578-590)
-        ch_spiked = ch.at[c_ys, c_xs].set(
-            jnp.where(c_valid, 1.0, ch[c_ys, c_xs]))
-        val = ch_spiked.reshape(-1)
-        npix = jax.ops.segment_sum(jnp.ones((HW,)), assign_flat,
-                                   num_segments=S + 1)
-        prob = seg_probs[..., cls_idx + 1].reshape(-1)
-        psum = jax.ops.segment_sum(prob, assign_flat, num_segments=S + 1)
-        seg_score = psum / jnp.maximum(npix, 1.0)
-        vmax = jax.ops.segment_max(
-            jnp.where(assign_flat < S, val, -jnp.inf), assign_flat,
-            num_segments=S + 1)
-        # argmax pixel (first max, ties by smallest flat index like torch)
-        at_max = val >= vmax[assign_flat] - 1e-12
-        pmax = -jax.ops.segment_max(
-            jnp.where(at_max, -flat_idx, -HW * 2), assign_flat,
-            num_segments=S + 1)
-        py = (pmax // W).astype(jnp.float32)
-        px = (pmax % W).astype(jnp.float32)
-
-        center_score = vmax[:S]
-        seg_score = seg_score[:S]
-        has_pix = npix[:S] > 0
-        slot_ok = ctr_valid & has_pix
-
-        use_seg_center = center_score < refine_thresh
-        out_y = jnp.where(use_seg_center,
-                          jnp.floor(comp_cy[ctr_root]), py[:S])
-        out_x = jnp.where(use_seg_center,
-                          jnp.floor(comp_cx[ctr_root]), px[:S])
-        conf = jnp.where(use_seg_center, seg_score, center_score * seg_score)
-        conf = jnp.clip(conf, 0.0, 1.0)
-
-        # pixel maps: weight = conf of own slot, offsets toward slot center
-        slot_conf = jnp.concatenate([jnp.where(slot_ok, conf, 0.0), jnp.zeros((1,))])
-        slot_y = jnp.concatenate([out_y, jnp.zeros((1,))])
-        slot_x = jnp.concatenate([out_x, jnp.zeros((1,))])
-        slot_live = jnp.concatenate([slot_ok, jnp.zeros((1,), bool)])
-        w_px = slot_conf[assign] * slot_live[assign]
-        live_px = slot_live[assign]
-        off_y = (slot_y[assign] - ys) * live_px
-        off_x = (slot_x[assign] - xs) * live_px
-        return (off_y, off_x, w_px, out_y, out_x, slot_ok & active, is_cluster,
-                truncated)
-
-    (off_y, off_x, w_px, sel_y, sel_x, sel_ok, _, trunc) = jax.lax.map(
-        per_class, jnp.arange(first_class, num_classes))
-
-    offset = jnp.stack([jnp.sum(off_y, 0), jnp.sum(off_x, 0)], axis=-1)
-    weight = jnp.sum(w_px, 0)[..., None]
-    cls_ids = jnp.repeat(jnp.arange(first_class, num_classes), S)
-    center = stamp_centers(sel_ok.reshape(-1), sel_y.reshape(-1),
-                           sel_x.reshape(-1), cls_ids, num_classes, sigma,
+    center = stamp_centers(slot_ok, out_y, out_x, slots["cls"], C, sigma,
                            (H, W))
     return {"center": center, "offset": offset, "weight": weight,
-            "truncated": jnp.sum(trunc)}
+            "truncated": truncated}

@@ -64,7 +64,6 @@ def make_phase2_train_step(model, model_old, pseudolabeler, peakgenerator,
 
     def loss_fn(params, stats, batch, old_vars, aux_vars, rng):
         images, l1h = batch["image"], batch["l1h"]
-        bs = images.shape[0]
         size = images.shape[1:3]
 
         # ---- old model (frozen): seg + center + offset -------------------
@@ -72,19 +71,27 @@ def make_phase2_train_step(model, model_old, pseudolabeler, peakgenerator,
                                      interpolate=False)
         out_old = jax.lax.stop_gradient(out_old)
 
-        # ---- frozen seg TTA forward on [img, flip] -----------------------
-        imgs2 = jnp.concatenate([images, jnp.flip(images, axis=2)], axis=0)
-        (seg_pred, feats) = model.apply(
-            {"params": params["model"], "batch_stats": stats["model"]},
-            imgs2, train=False, interpolate=False,
-            method=model.forward_seg)
-        seg_pred = jax.lax.stop_gradient(seg_pred)
+        # ---- frozen seg TTA forward on img and flip(img) -----------------
+        # two same-sharding passes instead of the reference's
+        # concat([img, flip]) batch-doubling (train.py:261): eval-mode BN
+        # makes them bit-identical, and the concat/split pattern forces an
+        # all-to-all resharding on a data-parallel mesh (the halves live on
+        # different devices) — pure overhead, and it aborts XLA:CPU's
+        # collective rendezvous on slow hosts.
+        mvars = {"params": params["model"], "batch_stats": stats["model"]}
+        (seg_a, feats) = model.apply(mvars, images, train=False,
+                                     interpolate=False,
+                                     method=model.forward_seg)
+        (seg_b, _) = model.apply(mvars, jnp.flip(images, axis=2),
+                                 train=False, interpolate=False,
+                                 method=model.forward_seg)
+        seg_a = jax.lax.stop_gradient(seg_a)
+        seg_b = jax.lax.stop_gradient(seg_b)
         feats = jax.lax.stop_gradient(feats)
-        seg_logits = seg_pred["seg"]
-        seg_max = (seg_logits[:bs] + jnp.flip(seg_logits[bs:], axis=2)) / 2.0
+        seg_max = (seg_a["seg"] + jnp.flip(seg_b["seg"], axis=2)) / 2.0
 
         # ---- instance branch on detached features (the only grads) ------
-        feats_b = {k: v[:bs] for k, v in feats["features"].items()}
+        feats_b = feats["features"]
         instance = model.apply(
             {"params": params["model"], "batch_stats": stats["model"]},
             feats_b, train=True, method=model.forward_instance,
@@ -100,8 +107,16 @@ def make_phase2_train_step(model, model_old, pseudolabeler, peakgenerator,
                                      label=l1h, train=False)
         cam = smoothing(cam)
         cam = resize_bilinear(cam, size, align_corners=False)
+        # peaks are only consumed for NEW classes (cls_label zeroes old
+        # ones below): extract on the new-class slice so the top-k sort
+        # runs over NC instead of all C channels, and re-pad
         peak_conf, peak_ys, peak_xs = peak_extract(
-            jax.lax.stop_gradient(cam), kernel=peak_kernel, k=max_peaks)
+            jax.lax.stop_gradient(cam[..., old_things:]),
+            kernel=peak_kernel, k=max_peaks)
+        pad = ((0, 0), (old_things, 0), (0, 0))
+        peak_conf = jnp.pad(peak_conf, pad)
+        peak_ys = jnp.pad(peak_ys, pad)
+        peak_xs = jnp.pad(peak_xs, pad)
 
         # ---- frozen-seg argmax GT -----------------------------------------
         seg_max_up = jax.lax.stop_gradient(

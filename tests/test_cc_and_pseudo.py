@@ -209,6 +209,23 @@ def test_pseudo_label_generation_first_class_equivalent():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+def test_cc_multilabel_equals_per_class():
+    """ONE multi-label pass == per-class boolean CC, exactly (same roots)."""
+    from cl4wsis_tpu.ops.cc import (connected_components,
+                                    connected_components_multilabel)
+    rs = np.random.RandomState(7)
+    for conn in (4, 8):
+        cls_map = rs.randint(0, 4, (40, 40)).astype(np.int32)
+        ml = np.asarray(connected_components_multilabel(
+            jnp.asarray(cls_map), connectivity=conn))
+        for c in (1, 2, 3):
+            mask = cls_map == c
+            ref = np.asarray(connected_components(jnp.asarray(mask),
+                                                  connectivity=conn))
+            np.testing.assert_array_equal(ml[mask], ref[mask])
+        assert (ml[cls_map == 0] == 40 * 40).all()
+
+
 def test_cc_adversarial_percolation_fixpoint():
     """Dense random masks produce maze-like components whose geodesics
     exceed any small fixed iteration count; the fixpoint loop must still
