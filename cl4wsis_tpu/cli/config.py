@@ -107,7 +107,7 @@ class Config:
     # ("label_truncated" train metric / "truncated_centers" val result).
     max_ctr: int = 16        # NMS center slots per class (train refine)
     max_cluster: int = 8     # offset-cluster slots per class
-    max_comp: int = 32       # pseudo-label components per class
+    max_comp: int = 64       # pseudo-label gaussian-stamp slots per IMAGE
     val_max_ctr: int = 32    # NMS center slots per class at validation
 
     # validation

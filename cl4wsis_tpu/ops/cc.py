@@ -168,6 +168,11 @@ def connected_components_multilabel(cls_map: jnp.ndarray,
     Returns (H, W) int32: component root (smallest flat index) per
     foreground pixel, H*W for background.
     """
+    from cl4wsis_tpu.ops import pallas_cc
+    if pallas_cc.available():
+        return pallas_cc.connected_components_multilabel_pallas(
+            cls_map, connectivity=connectivity,
+            num_iters=max(256, 8 * num_iters))
     H, W = cls_map.shape
     cls = cls_map.astype(jnp.int32)
     big = jnp.iinfo(jnp.int32).max

@@ -179,3 +179,121 @@ def connected_components_pallas(mask: jnp.ndarray, num_iters: int = 256
         return _call_batched(m, num_iters), True
 
     return fn(mask)
+
+
+# ---------------------------- multi-label variant ---------------------------
+# Same fixpoint kernel, but pixels connect only to EQUAL-class neighbors and
+# the segmented scans break runs at class changes — one kernel labels every
+# class's components at once (the phase-2 label-factory hot path).
+
+def _seg_cummin_flags(lab, bg, start, axis, reverse):
+    """Segmented running min along `axis` with explicit run-start flags."""
+    l = jnp.where(bg, _BIG, lab)
+    g = start
+    size = lab.shape[axis]
+    s = 1
+    while s < size:
+        d = s if reverse else -s
+        if axis == 0:
+            l_s = _shift(l, d, 0, _BIG)
+            g_num = _shift(g.astype(jnp.int32), d, 0, 1)
+        else:
+            l_s = _shift(l, 0, d, _BIG)
+            g_num = _shift(g.astype(jnp.int32), 0, d, 1)
+        g_s = g_num > 0
+        l = jnp.where(g, l, jnp.minimum(l, l_s))
+        g = g | g_s
+        s *= 2
+    return jnp.where(bg, _BIG, jnp.minimum(lab, l))
+
+
+def _cc_ml_compute(cls, num_iters, H, W, connectivity):
+    bg = cls <= 0
+    idx = _row_ids(H, W) * W + _col_ids(H, W)
+    lab0 = jnp.where(bg, _BIG, idx)
+    offs = ([(-1, 0), (1, 0), (0, -1), (0, 1)] if connectivity == 4 else
+            [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
+             if (dy, dx) != (0, 0)])
+    # run-start flags per scan direction: bg, class change, or border
+    start_fx = bg | (cls != _shift(cls, 0, -1, -1))
+    start_rx = bg | (cls != _shift(cls, 0, 1, -1))
+    start_fy = bg | (cls != _shift(cls, -1, 0, -1))
+    start_ry = bg | (cls != _shift(cls, 1, 0, -1))
+
+    def sweep(lab):
+        m = lab
+        for dy, dx in offs:
+            ls = _shift(lab, dy, dx, _BIG)
+            cs = _shift(cls, dy, dx, -1)
+            m = jnp.minimum(m, jnp.where(cs == cls, ls, _BIG))
+        lab = jnp.where(bg, _BIG, jnp.minimum(lab, m))
+        lab = _seg_cummin_flags(lab, bg, start_fx, 1, False)
+        lab = _seg_cummin_flags(lab, bg, start_rx, 1, True)
+        lab = _seg_cummin_flags(lab, bg, start_fy, 0, False)
+        lab = _seg_cummin_flags(lab, bg, start_ry, 0, True)
+        return lab
+
+    def cond(state):
+        it, _, changed = state
+        return jnp.logical_and(changed, it < num_iters)
+
+    def body(state):
+        it, lab, _ = state
+        new = sweep(lab)
+        return it + 1, new, jnp.any(new != lab)
+
+    _, lab, _ = jax.lax.while_loop(cond, body, (0, lab0, True))
+    return jnp.where(bg, H * W, lab).astype(jnp.int32)
+
+
+def _call_single_ml(cls, num_iters, connectivity):
+    H, W = cls.shape
+
+    def kernel(cls_ref, out_ref):
+        out_ref[:] = _cc_ml_compute(cls_ref[:], num_iters, H, W, connectivity)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((H, W), jnp.int32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(cls.astype(jnp.int32))
+
+
+def _call_batched_ml(clss, num_iters, connectivity):
+    N, H, W = clss.shape
+
+    def kernel(cls_ref, out_ref):
+        out_ref[0] = _cc_ml_compute(cls_ref[0], num_iters, H, W, connectivity)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((N, H, W), jnp.int32),
+        grid=(N,),
+        in_specs=[pl.BlockSpec((1, H, W), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, H, W), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(clss.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnames=("connectivity", "num_iters"))
+def connected_components_multilabel_pallas(cls_map: jnp.ndarray,
+                                           connectivity: int = 8,
+                                           num_iters: int = 256
+                                           ) -> jnp.ndarray:
+    """(H, W) int class map -> (H, W) int32 root map (bg = H*W)."""
+
+    fn = jax.custom_batching.custom_vmap(
+        lambda c: _call_single_ml(c, num_iters, connectivity))
+
+    @fn.def_vmap
+    def _vmap_rule(axis_size, in_batched, c):
+        assert in_batched[0]
+        return _call_batched_ml(c, num_iters, connectivity), True
+
+    return fn(cls_map)

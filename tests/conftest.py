@@ -14,7 +14,15 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "collective_call_terminate" not in flags:
+    # 8 virtual devices time-share ONE host core here: a device thread can
+    # reach a collective rendezvous arbitrarily late. XLA:CPU's default
+    # 40s watchdog then CHECK-fails and kills the whole process ("Fatal
+    # Python error: Aborted" mid-suite). Warn instead of dying.
+    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=600"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=7200")
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 

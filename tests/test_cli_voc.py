@@ -15,6 +15,7 @@ from tests.test_data import _write_fake_voc
 def test_cli_voc_step0_with_validation(tmp_path):
     _write_fake_voc(str(tmp_path), n_images=16, size=48)
     ckpt = str(tmp_path / "ck")
+    logdir = str(tmp_path / "logs")
     rc = main(["--data_root", str(tmp_path), "--dataset", "voc",
                "--task", "15-5", "--step", "0", "--name", "t",
                "--tiny", "true", "--epochs", "1", "--batch_size", "8",
@@ -22,12 +23,12 @@ def test_cli_voc_step0_with_validation(tmp_path):
                "--checkpoint", ckpt, "--dtype", "float32",
                "--bce", "true", "--optim", "adam", "--lr", "5e-5",
                "--kernel", "15", "--val_kernel", "15",
-               "--pretrained", "false"])
+               "--logdir", logdir, "--pretrained", "false"])
     assert rc == 0
     step0 = os.path.join(ckpt, "step", "voc-15-5-ov", "t_0")
     assert os.path.exists(step0)
-    # logger output exists
-    assert os.path.exists(os.path.join(ckpt, "logs", "t.jsonl"))
+    # logger output in the reference layout: {logdir}/{task_name}/{name}/
+    assert os.path.exists(os.path.join(logdir, "voc-15-5-ov", "t", "t.jsonl"))
 
     # phase 1 on the same fixture incl. CAM mIoU validation
     rc = main(["--data_root", str(tmp_path), "--dataset", "voc",
@@ -86,10 +87,12 @@ def test_cli_sample_visualization(tmp_path):
                "--checkpoint", ckpt, "--dtype", "float32",
                "--bce", "true", "--optim", "adam", "--lr", "5e-5",
                "--kernel", "15", "--val_kernel", "15",
-               "--sample_num", "2", "--pretrained", "false"])
+               "--sample_num", "2", "--pretrained", "false",
+               "--logdir", str(tmp_path / "logs")])
     assert rc == 0
     import glob
-    assert glob.glob(os.path.join(ckpt, "logs", "images", "*.png"))
+    assert glob.glob(os.path.join(str(tmp_path / "logs"), "voc-15-5-ov",
+                                  "v", "images", "*.png"))
 
 
 @pytest.mark.slow
