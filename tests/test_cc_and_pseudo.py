@@ -226,6 +226,38 @@ def test_cc_multilabel_equals_per_class():
         assert (ml[cls_map == 0] == 40 * 40).all()
 
 
+def test_cc_multilabel_spiral_converges():
+    """Hop-free multilabel CC must still reach exact roots on a long spiral
+    (worst-case geodesic for run-propagating scans)."""
+    from cl4wsis_tpu.ops.cc import (connected_components,
+                                    connected_components_multilabel)
+    n = 65
+    cls = np.zeros((n, n), np.int32)
+    # square spiral of class 2 plus scattered class-1 distractors
+    y, x = 0, 0
+    dy, dx = 0, 1
+    lo, hi = 0, n - 1
+    while lo <= hi:
+        for xx in range(lo, hi + 1):
+            cls[lo, xx] = 2
+        for yy in range(lo + 2, hi + 1):
+            cls[yy, hi] = 2
+        for xx in range(hi - 2, lo + 1, -1):
+            cls[hi, xx] = 2
+        for yy in range(hi - 2, lo + 3, -1):
+            cls[yy, lo + 2] = 2
+        lo += 4
+        hi -= 4
+    cls[1::8, 1::8] = np.where(cls[1::8, 1::8] == 0, 1, cls[1::8, 1::8])
+    ml = np.asarray(connected_components_multilabel(jnp.asarray(cls),
+                                                    connectivity=8))
+    for c in (1, 2):
+        m = cls == c
+        ref = np.asarray(connected_components(jnp.asarray(m), connectivity=8,
+                                              num_iters=4 * n))
+        np.testing.assert_array_equal(ml[m], ref[m])
+
+
 def test_cc_adversarial_percolation_fixpoint():
     """Dense random masks produce maze-like components whose geodesics
     exceed any small fixed iteration count; the fixpoint loop must still
