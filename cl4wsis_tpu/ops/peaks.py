@@ -49,3 +49,19 @@ def peak_extract(heat: jnp.ndarray, kernel: int = 5, k: int = 25
     ys = (inds // W).astype(jnp.int32)
     xs = (inds % W).astype(jnp.int32)
     return scores.astype(jnp.float32), ys, xs
+
+
+@partial(jax.jit, static_argnames=("kernel", "k"))
+def peak_extract_nchw(heat: jnp.ndarray, kernel: int = 5, k: int = 25
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """peak_extract for channel-first (B, C, H, W) heat — no full-resolution
+    relayout (that transpose alone profiled ~0.3s/step at 512^2 bf16)."""
+    B, C, H, W = heat.shape
+    x = heat.reshape(B * C, H, W)[..., None]
+    hmax = max_pool_same(x, kernel)[..., 0].reshape(B, C, H, W)
+    keep = (hmax == heat).astype(heat.dtype)
+    peak = (heat * keep).reshape(B, C, H * W)
+    scores, inds = jax.lax.top_k(peak, k)
+    ys = (inds // W).astype(jnp.int32)
+    xs = (inds % W).astype(jnp.int32)
+    return scores.astype(jnp.float32), ys, xs

@@ -69,3 +69,24 @@ def resize_bilinear(x: jnp.ndarray, size: Tuple[int, int],
 
     out = out.astype(dtype)
     return out[0] if squeeze else out
+
+
+def resize_bilinear_nchw(x: jnp.ndarray, size: Tuple[int, int],
+                         align_corners: bool = False) -> jnp.ndarray:
+    """resize_bilinear for channel-first (B, C, H, W) input — bit-identical
+    contractions, no layout change. Lets callers that need channel-major
+    output (per-class top-k) transpose at the SMALL resolution instead of
+    paying a full-res relayout copy."""
+    _, _, H, W = x.shape
+    h, w = size
+    if (H, W) == (h, w):
+        return x
+    dtype = x.dtype
+    out = x.astype(jnp.float32)
+    if h != H:
+        out = jnp.einsum("oh,bchw->bcow", _axis_matrix(H, h, align_corners),
+                         out, precision=jax.lax.Precision.HIGHEST)
+    if w != W:
+        out = jnp.einsum("ow,bchw->bcho", _axis_matrix(W, w, align_corners),
+                         out, precision=jax.lax.Precision.HIGHEST)
+    return out.astype(dtype)

@@ -27,10 +27,10 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from cl4wsis_tpu.ops.peaks import peak_extract, smoothing
+from cl4wsis_tpu.ops.peaks import peak_extract_nchw, smoothing
 from cl4wsis_tpu.ops.pseudo_labels import pseudo_label_generation
 from cl4wsis_tpu.ops.refine import refine_label_generation
-from cl4wsis_tpu.ops.resize import resize_bilinear
+from cl4wsis_tpu.ops.resize import resize_bilinear, resize_bilinear_nchw
 from cl4wsis_tpu.train import losses
 from cl4wsis_tpu.train.state import TrainState
 from cl4wsis_tpu.train.step0 import CENTER_LOSS_WEIGHT, OFFSET_LOSS_WEIGHT
@@ -106,13 +106,15 @@ def make_phase2_train_step(model, model_old, pseudolabeler, peakgenerator,
         _, cam = peakgenerator.apply(aux_vars["peakgenerator"], int_masks,
                                      label=l1h, train=False)
         cam = smoothing(cam)
-        cam = resize_bilinear(cam, size, align_corners=False)
         # peaks are only consumed for NEW classes (cls_label zeroes old
-        # ones below): extract on the new-class slice so the top-k sort
-        # runs over NC instead of all C channels, and re-pad
-        peak_conf, peak_ys, peak_xs = peak_extract(
-            jax.lax.stop_gradient(cam[..., old_things:]),
-            kernel=peak_kernel, k=max_peaks)
+        # ones below): slice to NC channels, go channel-first at the SMALL
+        # cam resolution (a full-res relayout costs ~0.3s/step), upsample
+        # in NCHW (bit-identical einsum contractions), extract, re-pad
+        cam_t = jax.lax.stop_gradient(
+            cam[..., old_things:]).transpose(0, 3, 1, 2)
+        cam_t = resize_bilinear_nchw(cam_t, size, align_corners=False)
+        peak_conf, peak_ys, peak_xs = peak_extract_nchw(
+            cam_t, kernel=peak_kernel, k=max_peaks)
         pad = ((0, 0), (old_things, 0), (0, 0))
         peak_conf = jnp.pad(peak_conf, pad)
         peak_ys = jnp.pad(peak_ys, pad)
