@@ -97,8 +97,13 @@ def make_phase2_train_step(model, model_old, pseudolabeler, peakgenerator,
             feats_b, train=True, method=model.forward_instance,
             mutable=["batch_stats"], rngs={"dropout": rng})
         instance, model_stats = instance
-        center_out = resize_bilinear(instance["center"], size, align_corners=False)
-        offset_out = resize_bilinear(instance["offset"], size, align_corners=False)
+        # f32 from here: the losses/refine compute in f32 anyway, and
+        # keeping these bf16 forced a slow odd-layout relayout copy of the
+        # sliced center map (profiled ~0.3s/step)
+        center_out = resize_bilinear(
+            instance["center"].astype(jnp.float32), size, align_corners=False)
+        offset_out = resize_bilinear(
+            instance["offset"].astype(jnp.float32), size, align_corners=False)
 
         # ---- CAM -> peaks -------------------------------------------------
         int_masks = pseudolabeler.apply(aux_vars["pseudolabeler"],
