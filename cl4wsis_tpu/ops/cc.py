@@ -80,9 +80,13 @@ def connected_components(mask: jnp.ndarray, connectivity: int = 8,
     if connectivity == 8:
         from cl4wsis_tpu.ops import pallas_cc
         if pallas_cc.available():
-            # fixpoint kernel: num_iters here is only the safety cap
+            # fixpoint kernel: num_iters is only the safety cap, and the
+            # kernel is hop-free, so give it the hop-free worst case (a
+            # pathological spiral needs ~O(H+W) run-propagating sweeps) —
+            # the same bound the XLA multilabel fallback uses. Early exit
+            # makes the generous cap free in the common case.
             return pallas_cc.connected_components_pallas(
-                mask, num_iters=max(256, 8 * num_iters))
+                mask, num_iters=max(num_iters, 4 * (H + W)))
     big = jnp.iinfo(jnp.int32).max
     idx = (jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) * W +
            jax.lax.broadcasted_iota(jnp.int32, (H, W), 1))
@@ -168,12 +172,17 @@ def connected_components_multilabel(cls_map: jnp.ndarray,
     Returns (H, W) int32: component root (smallest flat index) per
     foreground pixel, H*W for background.
     """
+    H, W = cls_map.shape
     from cl4wsis_tpu.ops import pallas_cc
     if pallas_cc.available():
+        # same hop-free worst-case bound as the XLA fallback below: both
+        # kernels propagate runs only, so a pathological spiral at HxW can
+        # need ~O(H+W) sweeps; fixpoint early-exit keeps the usual case
+        # cheap (ADVICE r2: the old max(256, 8*num_iters) could silently
+        # under-converge and split components)
         return pallas_cc.connected_components_multilabel_pallas(
             cls_map, connectivity=connectivity,
-            num_iters=max(256, 8 * num_iters))
-    H, W = cls_map.shape
+            num_iters=max(num_iters, 4 * (H + W)))
     cls = cls_map.astype(jnp.int32)
     big = jnp.iinfo(jnp.int32).max
     idx = (jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) * W +
@@ -230,8 +239,18 @@ def component_stats(roots: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.n
 
 def select_components(accept: jnp.ndarray, max_comp: int) -> jnp.ndarray:
     """Pick up to `max_comp` accepted root indices from an (HW+1,) accept
-    mask. Returns (max_comp,) int32 root ids; empty slots get HW (dump)."""
+    mask, in ascending index order. Returns (max_comp,) int32 root ids;
+    empty slots get HW (dump).
+
+    Sort-free: the old top_k(-index) lowered to a full O(HW log HW) sort
+    (profiled ~58 ms/step at 512^2 x 5 classes); a cumsum rank plus one
+    segment_min into max_comp buckets is exact and one pass."""
     n = accept.shape[0]
-    score = jnp.where(accept, -jnp.arange(n), -jnp.asarray(n, jnp.int32) * 2)
-    vals, idx = jax.lax.top_k(score, max_comp)
-    return jnp.where(vals > -n * 2, idx, n - 1).astype(jnp.int32)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    rank = jnp.cumsum(accept.astype(jnp.int32)) - 1   # rank among accepted
+    in_window = accept & (rank < max_comp)
+    key = jnp.where(in_window, rank, max_comp)
+    sel = jax.ops.segment_min(jnp.where(in_window, idx, n - 1), key,
+                              num_segments=max_comp + 1)[:max_comp]
+    # empty rank buckets get segment_min's identity (int32 max) -> dump id
+    return jnp.minimum(sel, n - 1).astype(jnp.int32)

@@ -34,6 +34,32 @@ MINIMUM_MASK_SIZE = 20  # modules/utils.py:14
 MAXIMUM_NUM_INST = 5    # modules/utils.py:15
 
 
+def class_components(seg_map: jnp.ndarray, cls_label: jnp.ndarray,
+                     num_classes: int, first_class: int, cc_iters: int):
+    """Shared CC pass of the phase-2 label factory: mask the argmax seg to
+    active classes in [first_class, num_classes), label every class's
+    components in ONE multilabel fixpoint pass, and compute per-root stats.
+
+    Both pseudo_label_generation and refine_label_generation consume the
+    SAME (seg, label) input, so the train step computes this once and
+    passes it to both — the round-2 profile showed each fixpoint pass is a
+    top-3 cost of the whole step, and running it twice was pure waste.
+
+    Returns (eff, roots, area, cy, cx).
+    """
+    lab_ok = jnp.zeros((num_classes + 1,), bool).at[1:].set(
+        (cls_label > 0) & (jnp.arange(num_classes) >= first_class))
+    # one-hot class-mask select instead of a (H, W) table gather — per-
+    # pixel gathers profiled ~45 ms/step here vs fused compares ~1 ms
+    ok_px = jnp.any((seg_map[..., None] == jnp.arange(num_classes + 1))
+                    & lab_ok, axis=-1)
+    eff = jnp.where(ok_px, seg_map, 0).astype(jnp.int32)
+    roots = connected_components_multilabel(eff, connectivity=8,
+                                            num_iters=cc_iters)
+    area, cy, cx = component_stats(roots)
+    return eff, roots, area, cy, cx
+
+
 @partial(jax.jit, static_argnames=("num_classes", "sigma", "max_comp",
                                    "cc_iters", "first_class"))
 def pseudo_label_generation(seg_map: jnp.ndarray,
@@ -42,7 +68,8 @@ def pseudo_label_generation(seg_map: jnp.ndarray,
                             cls_label: jnp.ndarray,
                             num_classes: int, sigma: int = 6,
                             max_comp: int = 64, cc_iters: int = 64,
-                            first_class: int = 0
+                            first_class: int = 0,
+                            components=None
                             ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One sample.
 
@@ -56,6 +83,8 @@ def pseudo_label_generation(seg_map: jnp.ndarray,
       first_class: ignore classes below this index entirely (phase 2 only
         generates labels for NEW classes — old entries of cls_label are 0,
         so ignoring them is exact).
+      components: optional precomputed ``class_components(...)`` result —
+        the train step shares one CC pass between this and the refinement.
 
     Returns:
       center (H, W, C), offset (H, W, 2), weight (H, W, 1), total_match (),
@@ -69,13 +98,11 @@ def pseudo_label_generation(seg_map: jnp.ndarray,
     xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
 
     # zero out pixels of inactive / skipped classes, then label every
-    # class's components in ONE pass
-    lab_ok = jnp.zeros((num_classes + 1,), bool).at[1:].set(
-        (cls_label > 0) & (jnp.arange(num_classes) >= first_class))
-    eff = jnp.where(lab_ok[seg_map], seg_map, 0).astype(jnp.int32)
-    roots = connected_components_multilabel(eff, connectivity=8,
-                                            num_iters=cc_iters)
-    area, cy, cx = component_stats(roots)
+    # class's components in ONE pass (or reuse the caller's shared pass)
+    if components is None:
+        components = class_components(seg_map, cls_label, num_classes,
+                                      first_class, cc_iters)
+    eff, roots, area, cy, cx = components
 
     # count valid peaks per component: peak (c, k) counts iff valid AND it
     # lands on a pixel of class c+1 (components are class-pure, so the

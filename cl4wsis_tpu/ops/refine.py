@@ -40,6 +40,7 @@ from cl4wsis_tpu.ops.cc import (component_stats,
 from cl4wsis_tpu.ops.grouping import assign_pixels_roottable
 from cl4wsis_tpu.ops.labelgen import stamp_centers
 from cl4wsis_tpu.ops.peaks import max_pool_same
+from cl4wsis_tpu.ops.topk import topk_hier
 from cl4wsis_tpu.ops.pseudo_labels import MAXIMUM_NUM_INST, MINIMUM_MASK_SIZE
 
 
@@ -66,7 +67,9 @@ def _global_center_slots(eff, roots, comp_ok, center_map, offset_map,
     hmax = max_pool_same(x_nms[None], nms_kernel)[0]
     x_nms = jnp.where(x_nms == hmax, x_nms, -1.0)     # survivors or -1
     flat_nms = x_nms.transpose(2, 0, 1).reshape(nc, HW)
-    n_vals, n_idx = jax.lax.top_k(flat_nms, max_ctr)  # (C, max_ctr)
+    # hierarchical exact top-k: plain top_k sorts the whole HW axis
+    # (~42 ms/step profiled); see ops/topk.py
+    n_vals, n_idx = topk_hier(flat_nms, max_ctr)      # (C, max_ctr)
     n_ys = (n_idx // W).astype(jnp.int32)
     n_xs = (n_idx % W).astype(jnp.int32)
     n_valid = n_vals > 0
@@ -74,9 +77,8 @@ def _global_center_slots(eff, roots, comp_ok, center_map, offset_map,
     n_valid = n_valid & (n_root != HW) & comp_ok[n_root]
     # NMS centers beyond the slot cap are silently dropped relative to the
     # reference's top_k=10000 (train.py:497); count them so callers surface
-    # saturation instead of hiding it. Cluster slots are NOT counted:
-    # cluster candidates within 100px of an NMS center are rejected by the
-    # merge rule below on both sides (PARITY.md "slot caps").
+    # saturation instead of hiding it. (Cluster-slot overflow is counted
+    # below once the weak-CC accept mask exists.)
     nms_counts = jnp.sum((flat_nms > 0).astype(jnp.int32), axis=1)
     truncated = jnp.sum(jnp.maximum(nms_counts - max_ctr, 0))
 
@@ -93,14 +95,24 @@ def _global_center_slots(eff, roots, comp_ok, center_map, offset_map,
     rc_w = jnp.where(jnp.arange(HW + 1) < HW,
                      jnp.pad(eff.reshape(-1), (0, 1)), 0)  # root's class
 
+    # probe window: select TWICE the cap so the validity checks (heat,
+    # component, 100px merge) run on the overflow candidates too — a
+    # verified-valid candidate beyond the cap is a genuinely dropped
+    # instance and is counted as truncated (the round-2 PARITY cluster-slot
+    # blind spot). Candidates failing the checks would have been rejected
+    # by the reference too and are NOT counted. Overflow past the 2x window
+    # goes unchecked (unbounded accounting would need dense per-root merge
+    # distances); a scene saturating the window still reports nonzero.
+    k2 = 2 * max_cluster
+
     def cluster_slots(cls_id):
         acc = accept_w & (rc_w == cls_id + 1)
-        sel = select_components(acc, max_cluster)
+        sel = select_components(acc, k2)
         return sel, acc[sel]
 
     # per-class top-k over the (HW+1,) accept mask, batched via vmap
     c_sel, c_acc = jax.vmap(cluster_slots)(classes)
-    c_ys = jnp.floor(cyw[c_sel]).astype(jnp.int32)    # (NC, max_cluster)
+    c_ys = jnp.floor(cyw[c_sel]).astype(jnp.int32)    # (NC, k2)
     c_xs = jnp.floor(cxw[c_sel]).astype(jnp.int32)
     c_root = roots[c_ys, c_xs]
     ch_at = ch_all[c_ys, c_xs, jnp.arange(nc)[:, None]]
@@ -112,6 +124,10 @@ def _global_center_slots(eff, roots, comp_ok, center_map, offset_map,
     same = n_valid[:, None, :] & (c_root[:, :, None] == n_root[:, None, :])
     min_d = jnp.min(jnp.where(same, jnp.sqrt(d2), jnp.inf), axis=2)
     c_valid = c_valid & (min_d > 100.0)
+    truncated = truncated + jnp.sum(c_valid[:, max_cluster:].astype(jnp.int32))
+    c_ys, c_xs = c_ys[:, :max_cluster], c_xs[:, :max_cluster]
+    c_root, ch_at = c_root[:, :max_cluster], ch_at[:, :max_cluster]
+    c_valid = c_valid[:, :max_cluster]
 
     # the reference marks cluster centers as 1.0 spikes in the heatmap
     # before reading the per-instance max (modules/utils.py:578-590)
@@ -152,9 +168,15 @@ def _slot_stats(slots, assign, eff, ch_spiked, seg_probs_things, n_slots,
     HW = H * W
     assign_flat = assign.reshape(-1)
     px_cls = jnp.clip(eff.reshape(-1) - 1 - first_class, 0)
-    # per-pixel heatmap/prob value of the pixel's OWN class channel
-    val = ch_spiked.reshape(HW, -1)[jnp.arange(HW), px_cls]
-    prob = seg_probs_things.reshape(HW, -1)[jnp.arange(HW), px_cls]
+    # per-pixel heatmap/prob value of the pixel's OWN class channel.
+    # One-hot select, not a gather: arbitrary per-pixel gathers ran at
+    # ~3 GB/s on the profile (~90 ms each here); a masked sum over the few
+    # class channels is plain fused elementwise work.
+    nc = ch_spiked.shape[-1]
+    onehot = px_cls[:, None] == jnp.arange(nc)[None, :]
+    val = jnp.sum(jnp.where(onehot, ch_spiked.reshape(HW, nc), 0.0), axis=1)
+    prob = jnp.sum(jnp.where(onehot, seg_probs_things.reshape(HW, nc), 0.0),
+                   axis=1)
     flat_idx = jnp.arange(HW, dtype=jnp.int32)
 
     npix = jax.ops.segment_sum(jnp.ones((HW,)), assign_flat,
@@ -184,7 +206,8 @@ def refine_label_generation(seg_probs: jnp.ndarray, center_map: jnp.ndarray,
                             nms_kernel: int = 41, beta: float = 3.0,
                             max_ctr: int = 16, max_cluster: int = 8,
                             cc_iters: int = 64,
-                            first_class: int = 0) -> Dict[str, jnp.ndarray]:
+                            first_class: int = 0,
+                            components=None) -> Dict[str, jnp.ndarray]:
     """One sample.
 
     Args:
@@ -205,13 +228,13 @@ def refine_label_generation(seg_probs: jnp.ndarray, center_map: jnp.ndarray,
     ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
     xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
 
-    # shared fixpoint pass: every class's components at once
-    lab_ok = jnp.zeros((C + 1,), bool).at[1:].set(
-        (label > 0) & (jnp.arange(C) >= first_class))
-    eff = jnp.where(lab_ok[gt_seg], gt_seg, 0).astype(jnp.int32)
-    roots = connected_components_multilabel(eff, connectivity=8,
-                                            num_iters=cc_iters)
-    area, comp_cy, comp_cx = component_stats(roots)
+    # shared fixpoint pass: every class's components at once (reused from
+    # the caller's pseudo-label pass when provided — identical input)
+    if components is None:
+        from cl4wsis_tpu.ops.pseudo_labels import class_components
+        components = class_components(gt_seg, label, C, first_class,
+                                      cc_iters)
+    eff, roots, area, comp_cy, comp_cx = components
     comp_ok = area >= MINIMUM_MASK_SIZE
 
     slots, ch_spiked, truncated = _global_center_slots(
@@ -240,15 +263,22 @@ def refine_label_generation(seg_probs: jnp.ndarray, center_map: jnp.ndarray,
     conf = jnp.where(use_seg_center, seg_score, center_score * seg_score)
     conf = jnp.clip(conf, 0.0, 1.0)
 
-    # pixel maps: weight = conf of own slot, offsets toward slot center
+    # pixel maps: weight = conf of own slot, offsets toward slot center.
+    # (live, y, x) ride in ONE packed-int gather (same trick as the
+    # per-root assignment table) + one f32 conf gather — down from four
+    # per-pixel gathers, each of which profiled ~45-90 ms/step.
     slot_conf = jnp.concatenate([jnp.where(slot_ok, conf, 0.0), jnp.zeros((1,))])
-    slot_y = jnp.concatenate([out_y, jnp.zeros((1,))])
-    slot_x = jnp.concatenate([out_x, jnp.zeros((1,))])
-    slot_live = jnp.concatenate([slot_ok, jnp.zeros((1,), bool)])
-    weight = (slot_conf[assign] * slot_live[assign])[..., None]
-    live_px = slot_live[assign]
-    offset = jnp.stack([(slot_y[assign] - ys) * live_px,
-                        (slot_x[assign] - xs) * live_px], axis=-1)
+    oy_i = jnp.clip(out_y, 0, H - 1).astype(jnp.int32)
+    ox_i = jnp.clip(out_x, 0, W - 1).astype(jnp.int32)
+    packed = (slot_ok.astype(jnp.int32) * H + oy_i) * W + ox_i
+    packed = jnp.concatenate([packed, jnp.zeros((1,), jnp.int32)])
+    pk = packed[assign]
+    live_px = pk >= HW
+    rem = pk - jnp.where(live_px, HW, 0)
+    weight = (slot_conf[assign] * live_px)[..., None]
+    offset = jnp.stack([((rem // W).astype(jnp.float32) - ys) * live_px,
+                        ((rem % W).astype(jnp.float32) - xs) * live_px],
+                       axis=-1)
 
     center = stamp_centers(slot_ok, out_y, out_x, slots["cls"], C, sigma,
                            (H, W))

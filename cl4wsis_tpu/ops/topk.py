@@ -1,0 +1,48 @@
+"""Hierarchical exact top-k.
+
+``jax.lax.top_k`` over a length-N axis lowers to a full O(N log N) sort on
+TPU — at the label factory's N = HW = 262144 each call profiled ~50-60 ms/
+step (refine NMS top-k, CAM peak top-k). Splitting the axis into chunks,
+taking a per-chunk top-k, and reducing the R*k candidates with a second
+top-k is EXACT (any global top-k set has at most k members per chunk) and
+sorts only width-`chunk` rows.
+
+Tie ordering matches flat ``top_k`` (stable, lower index wins): chunks are
+scanned in index order and the per-chunk top-k is stable, so the candidate
+list is ordered by (chunk, value-rank) and the outer stable top-k resolves
+equal values to the earlier (lower-index) candidate.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnames=("k", "chunk"))
+def topk_hier(x: jnp.ndarray, k: int, chunk: int = 1024):
+    """Exact (values, indices) top-k along the last axis of `x`.
+
+    Falls back to plain top_k for short axes. `chunk` must be >= k for the
+    hierarchy to be exact; enforced by construction (k1 = min(k, chunk)
+    only when chunk >= k, else plain top_k).
+    """
+    n = x.shape[-1]
+    if n <= 4 * chunk or chunk < k:
+        return jax.lax.top_k(x, k)
+    lead = x.shape[:-1]
+    r = (n + chunk - 1) // chunk
+    pad = r * chunk - n
+    if pad:
+        fill = (-jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
+                else jnp.iinfo(x.dtype).min)
+        x = jnp.concatenate(
+            [x, jnp.full(lead + (pad,), fill, x.dtype)], axis=-1)
+    xr = x.reshape(lead + (r, chunk))
+    v1, i1 = jax.lax.top_k(xr, k)                      # (..., r, k)
+    gidx = i1 + (jnp.arange(r, dtype=i1.dtype) * chunk)[:, None]
+    v2, i2 = jax.lax.top_k(v1.reshape(lead + (r * k,)), k)
+    idx = jnp.take_along_axis(gidx.reshape(lead + (r * k,)), i2, axis=-1)
+    return v2, idx

@@ -50,7 +50,7 @@ def make_phase2_train_step(model, model_old, pseudolabeler, peakgenerator,
                            max_peaks: int = 25,
                            max_ctr: int = 16,
                            max_cluster: int = 8,
-                           max_comp: int = 32,
+                           max_comp: int = 64,
                            cc_iters: int = 64) -> Callable:
     """Build the phase-2 step.
 
@@ -140,24 +140,36 @@ def make_phase2_train_step(model, model_old, pseudolabeler, peakgenerator,
 
         # ---- pseudo labels (device label factory) -------------------------
         # only NEW classes can produce labels (old cls_label entries are 0),
-        # so skip the old classes' CC/matching work entirely
+        # so skip the old classes' CC/matching work entirely. The class-CC
+        # fixpoint pass + stats are computed ONCE and shared between the
+        # pseudo-label and refinement ops (identical (seg, label) input —
+        # each pass was a top-3 cost of the whole step in the round-2
+        # profile, and it used to run twice).
+        from cl4wsis_tpu.ops.pseudo_labels import class_components
+        comps = jax.vmap(partial(class_components, num_classes=n_things,
+                                 first_class=old_things,
+                                 cc_iters=cc_iters))(seg_gt, cls_label)
+        pl_fn = partial(pseudo_label_generation, num_classes=n_things,
+                        sigma=sigma, max_comp=max_comp, cc_iters=cc_iters,
+                        first_class=old_things)
         pc, po, pw, _, p_trunc = jax.vmap(
-            partial(pseudo_label_generation, num_classes=n_things,
-                    sigma=sigma, max_comp=max_comp, cc_iters=cc_iters,
-                    first_class=old_things))(
-            seg_gt, peak_ys, peak_xs, peak_valid, cls_label)
+            lambda s, py, px, pv, cl, comp: pl_fn(s, py, px, pv, cl,
+                                                  components=comp))(
+            seg_gt, peak_ys, peak_xs, peak_valid, cls_label, comps)
         label_truncated = jnp.sum(p_trunc)
 
         # ---- self-refinement ----------------------------------------------
         if run_refine:
+            rf_fn = partial(refine_label_generation, num_classes=n_things,
+                            sigma=sigma, refine_thresh=refine_thresh,
+                            nms_kernel=nms_kernel, beta=beta, max_ctr=max_ctr,
+                            max_cluster=max_cluster, cc_iters=cc_iters,
+                            first_class=old_things)
             refined = jax.vmap(
-                partial(refine_label_generation, num_classes=n_things,
-                        sigma=sigma, refine_thresh=refine_thresh,
-                        nms_kernel=nms_kernel, beta=beta, max_ctr=max_ctr,
-                        max_cluster=max_cluster, cc_iters=cc_iters,
-                        first_class=old_things))(
+                lambda sp, c, o, cl, s, comp: rf_fn(sp, c, o, cl, s,
+                                                    components=comp))(
                 soft, jax.lax.stop_gradient(center_out),
-                jax.lax.stop_gradient(offset_out), cls_label, seg_gt)
+                jax.lax.stop_gradient(offset_out), cls_label, seg_gt, comps)
             label_truncated = label_truncated + jnp.sum(refined["truncated"])
             pw_sum = jnp.maximum(old_fg, pw)
             pc_new = pw * pc[..., old_things:] + \
@@ -299,16 +311,18 @@ def bench_phase2(batch_size: int = 16, size: int = 512, steps: int = 20,
 
     # device-time ground truth by default: the remote-TPU tunnel acks
     # block_until_ready before the device finishes, so the wall clock above
-    # overstates throughput by large factors. A short profiled loop gives
-    # the DEVICE's own step time. Disable with CL4WSIS_BENCH_DEVICE_TIME=0.
+    # overstates throughput by large factors. A profiled loop gives the
+    # DEVICE's own step time. Disable with CL4WSIS_BENCH_DEVICE_TIME=0.
     if (os.environ.get("CL4WSIS_BENCH_DEVICE_TIME", "1") == "1"
             and not profile_dir):
+        on_tpu = jax.default_backend() == "tpu"
         try:
             import shutil
             import tempfile
 
-            from cl4wsis_tpu.utils.device_time import device_time_report
-            dev_steps = 5
+            from cl4wsis_tpu.utils.device_time import (device_time_report,
+                                                       main_module_times)
+            dev_steps = int(os.environ.get("CL4WSIS_BENCH_DEVICE_STEPS", "20"))
             tdir = tempfile.mkdtemp(prefix="bench_trace_")
             try:
                 with jax.profiler.trace(tdir):
@@ -317,13 +331,29 @@ def bench_phase2(batch_size: int = 16, size: int = 512, steps: int = 20,
                                         aux_vars, jax.random.fold_in(rng, 99 + i))
                     jax.block_until_ready(m["loss"])
                 rep = device_time_report(tdir)
+                per_step = main_module_times(tdir)
             finally:
                 shutil.rmtree(tdir, ignore_errors=True)
             if rep["device_busy_s"] > 0:
                 out["device_dt"] = rep["device_busy_s"]
                 out["device_steps"] = dev_steps
-        except Exception:
-            pass  # no tf/xplane parser or non-TPU backend: wall-clock only
+                if per_step:
+                    out["device_step_min"] = min(per_step)
+                    out["device_step_mean"] = sum(per_step) / len(per_step)
+                    out["device_step_n"] = len(per_step)
+            elif on_tpu:
+                raise RuntimeError("profiler trace captured no device time")
+        except Exception as e:
+            if on_tpu:
+                # on TPU, silently reverting to the known-fictitious wall
+                # clock would report ~100x throughput — refuse instead
+                # (VERDICT r2 weak #7)
+                raise RuntimeError(
+                    "device-time measurement failed on TPU; refusing to "
+                    "report tunnel wall clock as the headline. Set "
+                    "CL4WSIS_BENCH_DEVICE_TIME=0 to explicitly opt out. "
+                    f"Cause: {type(e).__name__}: {e}") from e
+            # CPU/interpret runs: wall clock is real; proceed without
     return out
 
 
