@@ -156,7 +156,9 @@ def main(argv: Optional[list] = None) -> int:
                                       align_corners=False)
                 return jax.nn.softmax(seg.astype(jnp.float32), axis=-1)
 
-            res = validate_semseg(classify_seg, eval_samples(val),
+            res = validate_semseg(classify_seg,
+                                  eval_samples(val, jax.process_index(),
+                                               jax.process_count()),
                                   trainer.tot_classes)
             logger.add_results(res)
             logger.info(f"[{tag}] MeanIoU={res['Mean IoU']:.4f} "
@@ -182,7 +184,9 @@ def main(argv: Optional[list] = None) -> int:
                 cam = resize_bilinear(cam, image.shape[1:3], align_corners=False)
                 return jax.nn.softmax(cam.astype(jnp.float32), axis=-1)
 
-            res = validate_semseg(classify, eval_samples(val),
+            res = validate_semseg(classify,
+                                  eval_samples(val, jax.process_index(),
+                                               jax.process_count()),
                                   trainer.tot_classes,
                                   old_classes=trainer.old_classes)
             logger.add_results(res)
@@ -216,7 +220,9 @@ def main(argv: Optional[list] = None) -> int:
                         [(img * 255).astype(np.uint8),
                          l2c(ins % 255 + 1) * (ins >= 0)[..., None]], axis=1)
                     logger.add_image(f"{tag}/sample", vis.astype(np.uint8), i)
-            res = validate_instances(fwd, eval_samples(val))
+            res = validate_instances(
+                fwd, eval_samples(val, jax.process_index(),
+                                  jax.process_count()))
             logger.add_results({"map": res["map"], "map50": res["map50"],
                                 "ap": res["ap"].tolist(),
                                 "truncated_centers": res["truncated_centers"]})

@@ -91,7 +91,15 @@ class Loader:
                 yield item
 
 
-def eval_samples(dataset) -> Iterator[Dict[str, np.ndarray]]:
-    """Sequential bs=1 eval iterator (the reference protocol)."""
-    for i in range(len(dataset)):
+def eval_samples(dataset, process_index: int = 0,
+                 process_count: int = 1) -> Iterator[Dict[str, np.ndarray]]:
+    """Sequential bs=1 eval iterator (the reference protocol).
+
+    Each process takes a strided shard so multi-host eval does 1/P of the
+    work; the per-process accumulators then merge in ``acc.synch()`` /
+    ``metrics.synch()``. (The reference instead evaluates the FULL val set
+    on every rank and reports rank 0 only, ``run.py:75-77`` — a documented
+    deliberate difference, SURVEY.md §7 hard-parts #5.)
+    """
+    for i in range(process_index, len(dataset), process_count):
         yield dataset[i]

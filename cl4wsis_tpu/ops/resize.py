@@ -47,7 +47,15 @@ def resize_bilinear(x: jnp.ndarray, size: Tuple[int, int],
 
     Separable interpolation expressed as two small dense matmuls — they run
     on the MXU instead of lowering to gathers, which profiled ~30x slower
-    for the phase-2 CAM upsample (docs/verification.md round-2 series)."""
+    for the phase-2 CAM upsample (docs/verification.md round-2 series).
+
+    Numerics caveat: the dense-matrix form makes every output pixel a
+    weighted sum over the whole input axis (zero weights included), so a
+    NaN/Inf anywhere in an input row/column pollutes the entire output
+    along that axis (0*NaN = NaN) — unlike a 2-tap gather, which keeps bad
+    values local. Deliberate perf tradeoff; during divergence debugging,
+    localize the origin with ``jax.debug`` checks on the *input* maps, not
+    the resized ones."""
     squeeze = x.ndim == 3
     if squeeze:
         x = x[None]

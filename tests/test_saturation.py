@@ -9,6 +9,7 @@ import numpy as np
 
 from cl4wsis_tpu.ops.instance_postproc import get_ins_map
 from cl4wsis_tpu.ops.pseudo_labels import pseudo_label_generation
+from cl4wsis_tpu.ops.refine import refine_label_generation
 
 
 def _crowded_scene(n_rows=5, n_cols=5, spacing=32, blob=4):
@@ -84,3 +85,39 @@ def test_pseudo_label_generation_counts_stamp_truncation():
     # stamped gaussians: exactly 32 components got a center peak ~1
     n_peaks = int((np.asarray(c)[..., 1] > 0.99).sum())
     assert n_peaks == 32
+
+
+def test_refine_counts_cluster_slot_truncation():
+    """Crowded cluster-only scene (the round-2 PARITY blind spot): 10
+    area-21 components with sub-NMS-threshold heat (0.2 < refine_thresh)
+    and zero offsets, so every instance is carried by a CLUSTER slot.
+    With max_cluster=4 the 6 overflow candidates must be counted."""
+    n_blobs, spacing = 10, 24
+    H, W = 48, n_blobs * spacing
+    seg = np.zeros((H, W), np.int32)
+    center = np.zeros((H, W, 2), np.float32)
+    for k in range(n_blobs):
+        y0, x0 = 16, 8 + k * spacing
+        seg[y0:y0 + 3, x0:x0 + 7] = 2          # class idx 1, 3x7 = 21 px
+        center[y0:y0 + 3, x0:x0 + 7, 1] = 0.2  # > 0.05 heat, < 0.3 thresh
+    offset = np.zeros((H, W, 2), np.float32)   # |offset| < 2.5 everywhere
+    seg_prob = np.zeros((H, W, 3), np.float32)
+    seg_prob[..., 0] = (seg == 0)
+    seg_prob[..., 2] = (seg == 2)
+    label = np.array([0.0, 1.0], np.float32)
+
+    out = refine_label_generation(
+        jnp.asarray(seg_prob), jnp.asarray(center), jnp.asarray(offset),
+        jnp.asarray(label), jnp.asarray(seg), num_classes=2, sigma=3,
+        refine_thresh=0.3, nms_kernel=15, beta=3.0, max_ctr=8,
+        max_cluster=4, cc_iters=32)
+
+    # 4 cluster slots land (weight > 0 on 4 components); the 2x probe
+    # window verifies + counts the next 4 dropped candidates (the 2 beyond
+    # the window are unchecked/uncounted — the counter saturates, but a
+    # crowded scene always reports NONZERO truncation)
+    w = np.asarray(out["weight"])[..., 0]
+    covered = {k for k in range(n_blobs)
+               if w[16:19, 8 + k * spacing:15 + k * spacing].max() > 0}
+    assert len(covered) == 4
+    assert int(out["truncated"]) == 4
