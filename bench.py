@@ -24,7 +24,9 @@ from __future__ import annotations
 
 import json
 
-A100_REF_IMG_S = 30.0  # estimated reference phase-2 img/s per A100 (see docstring)
+A100_REF_IMG_S = 30.0  # reference phase-2 img/s bound; see BASELINE_NOTE
+BASELINE_NOTE = ("working estimate pending this round's host measurement "
+                 "of the reference label factory (scripts/bench_reference.py)")
 TARGET = 3 * A100_REF_IMG_S
 
 # bf16 peak TFLOP/s per chip, by jax device_kind substring (public specs)
@@ -156,6 +158,19 @@ def main():
 
     import jax
 
+    # persistent compilation cache: tunnel compiles fluctuate 20s-10min for
+    # identical programs (CLAUDE.md), so repeat bench/A-B runs load the
+    # compiled executable instead of re-paying that lottery
+    try:
+        cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 ".jax_cache")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:
+        pass  # cache is an optimization only
+
     which = os.environ.get("CL4WSIS_BENCH", "phase2")
     if which == "step0":
         r = bench_step0()
@@ -186,35 +201,48 @@ def main():
         "value": round(img_s, 2),
         "unit": "img/s/chip",
         "vs_baseline": round(img_s / TARGET, 3),
+        "baseline_img_s": A100_REF_IMG_S,
+        "baseline_note": BASELINE_NOTE,
         "chip": kind,
         "steps": r["steps"],
-        "step_time_s": round(r["dt"] / r["steps"], 4),
     }
+    # wall-clock audit block: everything derived from the tunnel's wall
+    # clock lives HERE and only here — it is known-unreliable (acks
+    # block_until_ready early), so none of it may be read against the
+    # headline. implied_mfu > 1 marks the wall numbers physically
+    # impossible.
+    wall = {"img_s": round(img_s, 2),
+            "step_time_s": round(r["dt"] / r["steps"], 4)}
+    if r["flops_per_step"] > 0:
+        tflops_s = r["flops_per_step"] * r["steps"] / r["dt"] / 1e12
+        wall["tflops_s"] = round(tflops_s, 1)
+        if peak is not None:
+            wall["implied_mfu"] = round(tflops_s / peak, 3)
+            if tflops_s > peak:
+                wall["suspect_timing"] = True
+        out["xla_flops_per_step"] = r["flops_per_step"]
+        out["chip_peak_bf16_tflops"] = peak
     if r.get("device_dt"):
-        # the bench self-measured DEVICE time (the tunnel's wall clock acks
-        # early and can overstate throughput by >10x): report the honest
-        # number as the headline, keep the wall figure as a side field
+        # the bench self-measured DEVICE time via a profiled loop: this is
+        # the headline; the wall figures stay quarantined in "wall"
         dev_s = r["device_dt"] / r["device_steps"]
         dev_img_s = r["batch_size"] / dev_s
         out.update({
             "metric": out["metric"] + " [device-time measured]",
             "value": round(dev_img_s, 2),
             "vs_baseline": round(dev_img_s / TARGET, 3),
-            "wall_img_s": round(img_s, 2),
             "device_step_time_s": round(dev_s, 4),
+            "device_steps_timed": r["device_steps"],
         })
+        if r.get("device_step_n"):
+            out["device_step_mean_s"] = round(r["device_step_mean"], 4)
+            out["device_step_min_s"] = round(r["device_step_min"], 4)
         if r["flops_per_step"] > 0 and peak:
             out["device_mfu"] = round(
                 r["flops_per_step"] / dev_s / 1e12 / peak, 3)
-    if r["flops_per_step"] > 0:
-        tflops_s = r["flops_per_step"] * r["steps"] / r["dt"] / 1e12
-        out["xla_flops_per_step"] = r["flops_per_step"]
-        out["tflops_s"] = round(tflops_s, 1)
-        if peak is not None:
-            out["chip_peak_bf16_tflops"] = peak
-            out["implied_mfu"] = round(tflops_s / peak, 3)
-            if tflops_s > peak:
-                out["suspect_timing"] = True
+    else:
+        out["timing"] = "wall-clock only (UNTRUSTED off-TPU tunnel)"
+    out["wall"] = wall
 
     # profiler ground truth: when a trace was captured, derive step time
     # from what the DEVICE actually executed instead of the tunnel's clock

@@ -87,7 +87,8 @@ class CL4WSISModel(nn.Module):
         elif self.backbone == "wider_resnet38_a2":
             from cl4wsis_tpu.models.wide_resnet import WiderResNet38A2
             self.body = WiderResNet38A2(output_stride=self.output_stride,
-                                        norm=norm, dtype=self.dtype)
+                                        norm=norm, dtype=self.dtype,
+                                        remat=self.remat)
         else:
             raise ValueError(f"unknown backbone {self.backbone!r}")
 

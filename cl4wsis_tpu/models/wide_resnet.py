@@ -81,6 +81,11 @@ class WiderResNet38A2(nn.Module):
     output_stride: int = 8  # the A2 variant is always dilated (OS8)
     norm: Callable[..., nn.Module] = ABN
     dtype: Any = None
+    # rematerialize each block's activations in backward — the TPU-native
+    # stand-in for the reference's inplace_abn memory rationale
+    # (segmentation_module.py:5-6): WRN-38 @ 448^2 batch 16 keeps ~16
+    # full-width activation planes alive without it
+    remat: bool = False
 
     @property
     def out_channels(self) -> int:
@@ -91,6 +96,11 @@ class WiderResNet38A2(nn.Module):
         y = nn.Conv(64, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
                     dtype=self.dtype, name="mod1_conv1")(x)
 
+        block_cls = IdentityResidualBlock
+        if self.remat:
+            # static_argnums: (train, ret_prev) flags are python bools
+            block_cls = nn.remat(block_cls, static_argnums=(2, 3))
+
         prevs = {}
         for mod_id, num in enumerate(self.structure):
             if mod_id < 2:
@@ -100,15 +110,15 @@ class WiderResNet38A2(nn.Module):
                 dil = 2 if mod_id == 3 else (4 if mod_id > 3 else 1)
                 stride = 2 if block_id == 0 and mod_id == 2 else 1
                 drop = 0.3 if mod_id == 4 else (0.5 if mod_id == 5 else None)
-                block = IdentityResidualBlock(
+                block = block_cls(
                     channels=_CHANNELS[mod_id], stride=stride, dilation=dil,
                     dropout=drop, norm=self.norm, dtype=self.dtype,
                     name=f"mod{mod_id + 2}_block{block_id + 1}")
                 if mod_id >= 2 and block_id == 0:
-                    y, prev = block(y, train=train, ret_prev=True)
+                    y, prev = block(y, train, True)
                     prevs[f"mod{mod_id + 2}"] = prev
                 else:
-                    y = block(y, train=train)
+                    y = block(y, train, False)
 
         out7 = self.norm(features=self.out_channels, name="bn_out")(y, train=train)
         return {"res1": prevs["mod4"], "res2": prevs["mod5"],

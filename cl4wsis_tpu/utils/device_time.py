@@ -93,7 +93,79 @@ def device_time_report(trace_dir: str) -> Dict:
             "planes": planes}
 
 
+def module_step_times(trace_dir: str) -> Dict[str, list]:
+    """Per-execution durations (seconds) of each XLA module on the device.
+
+    TPU xplane traces carry an "XLA Modules" line on each device plane with
+    one event per module execution — for a timed loop of N identical train
+    steps that is N events of the step program, giving per-step device
+    times (min/mean/variance) instead of only a busy-time total.
+
+    Returns {module_name: [duration_s, ...]} merged across device planes.
+    """
+    out: Dict[str, list] = {}
+    for xs in _load_xspaces(trace_dir):
+        for plane in xs.planes:
+            name = plane.name
+            is_device = ("TPU" in name or "/device:" in name
+                         or "gpu" in name.lower())
+            if not is_device:
+                continue
+            metadata = {m_id: m.name for m_id, m in plane.event_metadata.items()}
+            for line in plane.lines:
+                if "module" not in line.name.lower():
+                    continue
+                for ev in line.events:
+                    mname = metadata.get(ev.metadata_id, str(ev.metadata_id))
+                    out.setdefault(mname, []).append(ev.duration_ps / 1e12)
+    return out
+
+
+def op_breakdown(trace_dir: str, top: int = 40) -> list:
+    """Aggregate device op time by (normalized) HLO op name.
+
+    Reads the "XLA Ops" lines of the device planes and sums durations per
+    op name with trailing .N / digit suffixes stripped, so all instances
+    of e.g. `fusion.123` pool into `fusion`. Returns [(name, total_s,
+    count)] sorted by total, top-N — the kernel A/B compass.
+    """
+    import re
+    agg: Dict[str, list] = {}
+    for xs in _load_xspaces(trace_dir):
+        for plane in xs.planes:
+            name = plane.name
+            if not ("TPU" in name or "/device:" in name):
+                continue
+            metadata = {m_id: m.name for m_id, m in plane.event_metadata.items()}
+            for line in plane.lines:
+                lname = line.name.lower()
+                if "op" not in lname or "module" in lname:
+                    continue
+                for ev in line.events:
+                    mname = metadata.get(ev.metadata_id, str(ev.metadata_id))
+                    key = re.sub(r"[.\d]+$", "", mname)
+                    ent = agg.setdefault(key, [0.0, 0])
+                    ent[0] += ev.duration_ps / 1e12
+                    ent[1] += 1
+    rows = sorted(((k, v[0], v[1]) for k, v in agg.items()),
+                  key=lambda r: -r[1])
+    return rows[:top]
+
+
+def main_module_times(trace_dir: str) -> list:
+    """Durations of the dominant module (largest total device time) — for a
+    bench loop this is the train step program. Empty when no module line
+    exists in the trace."""
+    mods = module_step_times(trace_dir)
+    if not mods:
+        return []
+    return max(mods.values(), key=sum)
+
+
 if __name__ == "__main__":
     import json
     import sys
-    print(json.dumps(device_time_report(sys.argv[1]), indent=2))
+    rep = device_time_report(sys.argv[1])
+    rep["module_steps"] = {k: [round(v, 4) for v in vs]
+                           for k, vs in module_step_times(sys.argv[1]).items()}
+    print(json.dumps(rep, indent=2))
