@@ -128,9 +128,15 @@ def assign_pixels_roottable(ctr_y: jnp.ndarray, ctr_x: jnp.ndarray,
     loc_x = (xs + offsets[..., 1]).reshape(-1)
     d = (jnp.square(loc_y[:, None] - cy) + jnp.square(loc_x[:, None] - cx))
     d = jnp.where(slot < S, d, jnp.inf)
-    j = jnp.argmin(d, axis=1)
-    best = jnp.take_along_axis(slot, j[:, None], axis=1)[:, 0]
-    has = jnp.isfinite(jnp.take_along_axis(d, j[:, None], axis=1)[:, 0])
+    # first-min one-hot select instead of argmin + take_along_axis: the two
+    # per-pixel take_along gathers profiled ~90 ms/step each at 512^2 bs16;
+    # a masked sum over the K lane values is fused elementwise work. Tie
+    # break = lowest column index, same as argmin.
+    dmin = jnp.min(d, axis=1)
+    ismin = d == dmin[:, None]
+    first = ismin & (jnp.cumsum(ismin.astype(jnp.int32), axis=1) == 1)
+    best = jnp.sum(jnp.where(first, slot, 0), axis=1)
+    has = jnp.isfinite(dmin)
     return jnp.where(has, best, S).astype(jnp.int32).reshape(H, W)
 
 
