@@ -118,10 +118,18 @@ def pseudo_label_generation(seg_map: jnp.ndarray,
     accept = (counts == 1) & (area >= MINIMUM_MASK_SIZE)
     accept = accept.at[HW].set(False)
 
-    # per-pixel component properties
-    acc_px = accept[roots]
-    off_y = (jnp.floor(cy[roots]) - ys) * acc_px  # int centroid, like the ref
-    off_x = (jnp.floor(cx[roots]) - xs) * acc_px
+    # per-pixel component properties. The reference floors the centroid, so
+    # (accept, floor cy, floor cx) pack EXACTLY into one int32 table and the
+    # three per-pixel root-keyed gathers (profiled ~44 ms/step each at
+    # 512^2 bs16) collapse into one.
+    cyi = jnp.clip(jnp.floor(cy), 0, H - 1).astype(jnp.int32)
+    cxi = jnp.clip(jnp.floor(cx), 0, W - 1).astype(jnp.int32)
+    packed_tab = (accept.astype(jnp.int32) * H + cyi) * W + cxi
+    pk = packed_tab[roots]
+    acc_px = pk >= HW
+    rem = pk - jnp.where(acc_px, HW, 0)
+    off_y = ((rem // W).astype(jnp.float32) - ys) * acc_px
+    off_x = ((rem % W).astype(jnp.float32) - xs) * acc_px
     offset = jnp.stack([off_y, off_x], axis=-1)
     weight_map = acc_px.astype(jnp.float32)[..., None]
 

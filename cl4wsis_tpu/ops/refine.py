@@ -186,8 +186,13 @@ def _slot_stats(slots, assign, eff, ch_spiked, seg_probs_things, n_slots,
     vmax = jax.ops.segment_max(
         jnp.where(assign_flat < n_slots, val, -jnp.inf), assign_flat,
         num_segments=n_slots + 1)
-    # argmax pixel (first max, ties by smallest flat index like torch)
-    at_max = val >= vmax[assign_flat] - 1e-12
+    # argmax pixel (first max, ties by smallest flat index like torch).
+    # vmax-per-pixel via one-hot reduce over the small slot axis: an
+    # (n_slots+1)-table per-pixel gather lowers to a ~40 ms/step fusion.
+    slot_ids = jnp.arange(n_slots + 1)
+    vmax_px = jnp.sum(jnp.where(assign_flat[:, None] == slot_ids[None, :],
+                                vmax[None, :], 0.0), axis=1)
+    at_max = val >= vmax_px - 1e-12
     pmax = -jax.ops.segment_max(
         jnp.where(at_max, -flat_idx, -HW * 2), assign_flat,
         num_segments=n_slots + 1)
@@ -264,18 +269,24 @@ def refine_label_generation(seg_probs: jnp.ndarray, center_map: jnp.ndarray,
     conf = jnp.clip(conf, 0.0, 1.0)
 
     # pixel maps: weight = conf of own slot, offsets toward slot center.
-    # (live, y, x) ride in ONE packed-int gather (same trick as the
-    # per-root assignment table) + one f32 conf gather — down from four
-    # per-pixel gathers, each of which profiled ~45-90 ms/step.
+    # Per-pixel slot lookups as fused one-hot reduces over the small slot
+    # axis — even a 121-entry table gather lowers to a ~40 ms/step fusion
+    # at 512^2, while compare+select+sum over n_slots+1 lanes is plain
+    # vectorized work (the values are exact: exactly one lane is hot).
     slot_conf = jnp.concatenate([jnp.where(slot_ok, conf, 0.0), jnp.zeros((1,))])
     oy_i = jnp.clip(out_y, 0, H - 1).astype(jnp.int32)
     ox_i = jnp.clip(out_x, 0, W - 1).astype(jnp.int32)
     packed = (slot_ok.astype(jnp.int32) * H + oy_i) * W + ox_i
     packed = jnp.concatenate([packed, jnp.zeros((1,), jnp.int32)])
-    pk = packed[assign]
-    live_px = pk >= HW
-    rem = pk - jnp.where(live_px, HW, 0)
-    weight = (slot_conf[assign] * live_px)[..., None]
+    af = assign.reshape(-1)
+    sid = jnp.arange(n_slots + 1)
+    hot = af[:, None] == sid[None, :]
+    pk = jnp.sum(jnp.where(hot, packed[None, :], 0), axis=1)
+    conf_px = jnp.sum(jnp.where(hot, slot_conf[None, :], 0.0), axis=1)
+    live_flat = pk >= HW
+    rem = (pk - jnp.where(live_flat, HW, 0)).reshape(H, W)
+    live_px = live_flat.reshape(H, W)
+    weight = (conf_px.reshape(H, W) * live_px)[..., None]
     offset = jnp.stack([((rem // W).astype(jnp.float32) - ys) * live_px,
                         ((rem % W).astype(jnp.float32) - xs) * live_px],
                        axis=-1)
