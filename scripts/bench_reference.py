@@ -22,15 +22,22 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 import types
 
-sys.path.insert(0, "/root/reference")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+for p in ("/root/reference", os.path.join(REPO, "scripts", "refshim")):
+    if p in sys.path:
+        sys.path.remove(p)
+    sys.path.insert(0, p)  # refshim first (inplace_abn etc.)
 
 import numpy as np  # noqa: E402
 import torch  # noqa: E402
 
+import models  # noqa: E402,F401 (breaks the reference's modules<->models
+#                circular import: models must initialize first, as run.py does)
 from modules.utils import (gaussian, pseudo_label_generation,  # noqa: E402
                            refine_label_generation)
 
@@ -105,6 +112,22 @@ def main():
             pseudo_label_generation(seg, pts, l1h, tot, 6, g)
         t_pl = (time.perf_counter() - t0) / len(scenes)
 
+        # decompose refine into (a) torch-tensor work a GPU would
+        # accelerate (get_instance_segmentation bodies) and (b) the
+        # host-serial remainder (per-class cv2 CC on .cpu() masks,
+        # per-instance .item() syncs, numpy center_map_gen) that stays on
+        # the host on ANY accelerator
+        import modules.utils as mu
+        gis_time = [0.0]
+        real_gis = mu.get_instance_segmentation
+
+        def timed_gis(*a, **k):
+            t = time.perf_counter()
+            r = real_gis(*a, **k)
+            gis_time[0] += time.perf_counter() - t
+            return r
+
+        mu.get_instance_segmentation = timed_gis
         t0 = time.perf_counter()
         for seg, pts, l1h, c, o, sl in scenes:
             refine_label_generation(
@@ -112,11 +135,16 @@ def main():
                 torch.from_numpy(o)[None], torch.from_numpy(l1h)[None],
                 torch.from_numpy(seg)[None], 10000, ref_args)
         t_rl = (time.perf_counter() - t0) / len(scenes)
+        mu.get_instance_segmentation = real_gis
+        t_gis = gis_time[0] / len(scenes)
+        t_host_only = t_pl + (t_rl - t_gis)
 
         out[variant] = {
             "pseudo_ms_per_img": round(t_pl * 1e3, 1),
             "refine_ms_per_img": round(t_rl * 1e3, 1),
+            "refine_gpuable_ms_per_img": round(t_gis * 1e3, 1),
             "host_bound_img_s": round(1.0 / (t_pl + t_rl), 2),
+            "host_only_img_s_if_gpu_free": round(1.0 / t_host_only, 2),
         }
     out["note"] = ("per-image host time of the reference label factory "
                    "(train.py:449-500) on this host, single core, solo; "

@@ -41,15 +41,13 @@ def _patch_torch():
 
     import torch
 
-    real_device = torch.device
+    # .cuda() marks the tensor device-resident for _DeviceSim (identity
+    # move on this host; used only by the dormant img_to_tensor helper)
+    def _tensor_cuda(self, *a, **k):
+        self._dsim = True
+        return self
 
-    def device(*a, **k):
-        if a and isinstance(a[0], int):
-            return real_device("cpu")
-        return real_device(*a, **k)
-
-    torch.device = device
-    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.Tensor.cuda = _tensor_cuda
     torch.nn.Module.cuda = lambda self, *a, **k: self
     torch.cuda.set_device = lambda *a, **k: None
     torch.cuda.manual_seed = lambda *a, **k: None
@@ -89,6 +87,113 @@ def _patch_torch():
     os.environ.setdefault("LOCAL_RANK", "0")
 
 
+class _TorchProxy:
+    """torch with ``device(int) -> the SENTINEL cpu device`` — injected ONLY
+    into the reference run module's namespace (run.py:39 does
+    ``torch.device(opts.local_rank)``). Patching ``torch.device`` globally
+    breaks torch-internal ``str | torch.device`` annotations (it must stay
+    a type). The sentinel instance is what _DeviceSim recognizes as "the
+    GPU": ``.to(sentinel)`` marks a tensor device-resident."""
+
+    def __init__(self, real, sentinel):
+        self._real = real
+        self._sentinel = sentinel
+
+    def __getattr__(self, name):
+        return getattr(self._real, name)
+
+    def device(self, *a, **k):
+        if a and isinstance(a[0], int):
+            return self._sentinel
+        return self._real.device(*a, **k)
+
+
+def _make_device_sim():
+    """CUDA host/device-boundary simulation for an all-CPU run.
+
+    The reference's phase-2 pseudo-map accumulator (train.py:469-477)
+    relies on ``torch.cat([cuda_tensor, cpu_tensor])`` RAISING to reset
+    itself at each batch via its try/except. All-CPU the cat succeeds, the
+    accumulator grows across batches, and train.py:506 dies on a size
+    mismatch — so device placement must be simulated, not ignored.
+
+    A TorchFunctionMode propagates an ``_dsim`` device mark through every
+    torch op exactly like CUDA placement propagates through kernels:
+    ``.to(SENTINEL)`` sets it (run.py's ``torch.device(local_rank)`` is
+    proxied to SENTINEL), ``.cpu()`` / ``.to('cpu')`` clears it,
+    ``torch.from_numpy`` & friends start unmarked, and every other op marks
+    its tensor outputs iff any tensor input was marked (model params get
+    marked by ``Module.to(device)``'s internal Tensor.to calls, so forward
+    outputs are marked transitively). ``torch.cat`` over a marked/unmarked
+    mix raises — the one cross-device error the reference's control flow
+    depends on."""
+    import torch
+    from torch.overrides import TorchFunctionMode
+
+    sentinel = torch.device("cpu")
+
+    def tensors_in(obj, out):
+        if isinstance(obj, torch.Tensor):
+            out.append(obj)
+        elif isinstance(obj, (list, tuple)):
+            for o in obj:
+                tensors_in(o, out)
+        elif isinstance(obj, dict):
+            for o in obj.values():
+                tensors_in(o, out)
+        return out
+
+    class _DeviceSim(TorchFunctionMode):
+        def __torch_function__(self, func, types, args=(), kwargs=None):
+            kwargs = kwargs or {}
+            ins = tensors_in(args, tensors_in(kwargs, []))
+            marked = any(getattr(t, "_dsim", False) for t in ins)
+
+            name = getattr(func, "__name__", "")
+            if name in ("cat", "concat", "concatenate", "stack"):
+                seq = args[0] if args else kwargs.get("tensors", ())
+                marks = [getattr(t, "_dsim", False) for t in seq
+                         if isinstance(t, torch.Tensor)]
+                if any(marks) and not all(marks):
+                    raise RuntimeError(
+                        "refshim: torch.cat of device and host tensors "
+                        "(simulates the CUDA cross-device error the "
+                        "reference's accumulator reset relies on)")
+
+            out = func(*args, **kwargs)
+
+            # trans: True = moved to device, False = moved to host,
+            # None = ordinary op (placement propagates from inputs)
+            trans = None
+            if name == "to" and args and isinstance(args[0], torch.Tensor):
+                dev = kwargs.get("device")
+                for a in args[1:]:
+                    if isinstance(a, (torch.device, str)):
+                        dev = a
+                        break
+                if dev is sentinel:
+                    trans = True
+                elif dev is not None:  # explicit non-sentinel device: host
+                    trans = False
+            elif name == "cpu":
+                trans = False
+
+            if trans is not None and isinstance(out, torch.Tensor):
+                # .to()/.cpu() return SELF when already on the right
+                # dtype/device; never flip the source's placement in
+                # place — rebind to a fresh view object (on CUDA the
+                # source would keep its own placement)
+                if out is args[0] and getattr(out, "_dsim", False) != trans:
+                    out = out.view(out.shape)
+                out._dsim = trans
+            elif marked:
+                for t in tensors_in(out, []):
+                    t._dsim = True
+            return out
+
+    return sentinel, _DeviceSim()
+
+
 def _stage_args(stage, a):
     task = f"--dataset voc --task 15-5 --num_workers 0 --no_pretrained " \
            f"--batch_size {a.batch} --crop_size {a.size} " \
@@ -126,7 +231,7 @@ def main():
     if not os.path.exists(os.path.join(fixture, "voc",
                                        "pascal_sbd_train.json")):
         from tests.test_data import _write_fake_voc
-        _write_fake_voc(fixture, n_images=a.images, size=a.size)
+        _write_fake_voc(fixture, n_images=a.images, size=a.size, rich=True)
         print(f"fixture: wrote mini-VOC ({a.images} imgs @ {a.size}^2) "
               f"to {fixture}", flush=True)
 
@@ -144,8 +249,13 @@ def main():
         opts = ref_argparser.modify_command_options(opts)
         print(f"=== reference {stage}: starting ===", flush=True)
         t0 = time.time()
+        import torch
+
         import run as ref_run
-        ref_run.main(opts)
+        sentinel, sim = _make_device_sim()
+        ref_run.torch = _TorchProxy(torch, sentinel)
+        with sim:
+            ref_run.main(opts)
         print(json.dumps({"stage": stage, "wall_s": round(time.time() - t0, 1)}),
               flush=True)
 
