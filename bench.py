@@ -24,9 +24,20 @@ from __future__ import annotations
 
 import json
 
-A100_REF_IMG_S = 30.0  # reference phase-2 img/s bound; see BASELINE_NOTE
-BASELINE_NOTE = ("working estimate pending this round's host measurement "
-                 "of the reference label factory (scripts/bench_reference.py)")
+# MEASURED upper bound of the reference's phase-2 img/s (round 3,
+# scripts/bench_reference.py, solo on this host): the reference's label
+# factory runs serially on the host inside the train loop
+# (train.py:449-500); its HOST-ONLY residue (per-class cv2 CC on .cpu()
+# masks, per-instance .item() syncs, numpy gaussian stamping) costs
+# 74.3 ms/img on clean blobby masks even if every torch op
+# (get_instance_segmentation: 1478 of 1538 ms/img measured) were GPU-free.
+# 1/74.3ms = 13.46 img/s is therefore a generous empirical ceiling for the
+# reference on ANY GPU (noisy early-training masks: 4.93). Method +
+# raw numbers: BASELINE.md "Measured reference bound".
+A100_REF_IMG_S = 13.46
+BASELINE_NOTE = ("measured: reference label factory host-only residue, "
+                 "clean-mask variant, GPU work assumed free "
+                 "(scripts/bench_reference.py, BASELINE.md)")
 TARGET = 3 * A100_REF_IMG_S
 
 # bf16 peak TFLOP/s per chip, by jax device_kind substring (public specs)

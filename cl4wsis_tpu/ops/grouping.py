@@ -81,6 +81,41 @@ def cluster_peaks(offsets: jnp.ndarray, fg: jnp.ndarray, thresh: float = 2.5,
     return out
 
 
+@jax.jit
+def assign_pixels_lanes(ctr_y: jnp.ndarray, ctr_x: jnp.ndarray,
+                        ctr_valid: jnp.ndarray, ctr_root: jnp.ndarray,
+                        offsets: jnp.ndarray, pixel_root: jnp.ndarray
+                        ) -> jnp.ndarray:
+    """assign_pixels as ONE fused lane reduce over the full (S,) slot axis.
+
+    Same result as assign_pixels / assign_pixels_roottable (nearest valid
+    center sharing the pixel's root; ties -> lowest slot index). The
+    roottable variant gathers each pixel's 8-entry candidate row from a
+    per-root table — a ~93 ms/step per-pixel gather fusion on the round-3
+    trace. Here every pixel evaluates all S slots as a lane axis: at
+    S=120, that is ~5 G fused VPU ops at 512^2 bs16 (~1-2 ms) and zero
+    gathers/scatters. (The round-2 chunked scan this superficially
+    resembles was slow because of its per-chunk argmin+take_along_axis
+    GATHERS, not the distance math.)
+    """
+    S = ctr_y.shape[0]
+    H, W = pixel_root.shape
+    ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    loc_y = (ys + offsets[..., 0]).reshape(-1)
+    loc_x = (xs + offsets[..., 1]).reshape(-1)
+    proot = pixel_root.reshape(-1)
+    d = (jnp.square(loc_y[:, None] - ctr_y[None, :].astype(jnp.float32)) +
+         jnp.square(loc_x[:, None] - ctr_x[None, :].astype(jnp.float32)))
+    ok = ctr_valid[None, :] & (proot[:, None] == ctr_root[None, :])
+    d = jnp.where(ok, d, jnp.inf)
+    dmin = jnp.min(d, axis=1)
+    ismin = d == dmin[:, None]
+    first = ismin & (jnp.cumsum(ismin.astype(jnp.int32), axis=1) == 1)
+    best = jnp.sum(jnp.where(first, jnp.arange(S), 0), axis=1)
+    return jnp.where(jnp.isfinite(dmin), best, S).astype(jnp.int32).reshape(H, W)
+
+
 @partial(jax.jit, static_argnames=("k_per_root",))
 def assign_pixels_roottable(ctr_y: jnp.ndarray, ctr_x: jnp.ndarray,
                             ctr_valid: jnp.ndarray, ctr_root: jnp.ndarray,

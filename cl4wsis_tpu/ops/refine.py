@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from cl4wsis_tpu.ops.cc import (component_stats,
                                 connected_components_multilabel,
                                 select_components)
-from cl4wsis_tpu.ops.grouping import assign_pixels_roottable
+from cl4wsis_tpu.ops.grouping import assign_pixels_lanes
 from cl4wsis_tpu.ops.labelgen import stamp_centers
 from cl4wsis_tpu.ops.peaks import max_pool_same
 from cl4wsis_tpu.ops.topk import topk_hier
@@ -161,9 +161,16 @@ def _global_center_slots(eff, roots, comp_ok, center_map, offset_map,
 
 def _slot_stats(slots, assign, eff, ch_spiked, seg_probs_things, n_slots,
                 first_class=0):
-    """Per-slot (npix, seg_score, center_score, argmax pixel) via ONE set of
-    segment ops keyed by the global slot assignment. `ch_spiked` and
-    `seg_probs_things` are sliced to the active class range."""
+    """Per-slot (npix, seg_score, center_score, argmax pixel) keyed by the
+    global slot assignment. `ch_spiked` and `seg_probs_things` are sliced
+    to the active class range.
+
+    All reductions are fused LANE reduces over the (n_slots+1,) axis —
+    ``jax.ops.segment_*`` lowers to an XLA scatter that TPU executes
+    serially (~36 ms per segment op over 4M inputs on the round-3 trace;
+    four of them were the single biggest cost block of the whole phase-2
+    step), while a masked reduce over 121 lanes is plain vectorized work
+    the VPU streams at memory speed."""
     H, W = eff.shape
     HW = H * W
     assign_flat = assign.reshape(-1)
@@ -179,23 +186,17 @@ def _slot_stats(slots, assign, eff, ch_spiked, seg_probs_things, n_slots,
                    axis=1)
     flat_idx = jnp.arange(HW, dtype=jnp.int32)
 
-    npix = jax.ops.segment_sum(jnp.ones((HW,)), assign_flat,
-                               num_segments=n_slots + 1)
-    psum = jax.ops.segment_sum(prob, assign_flat, num_segments=n_slots + 1)
-    seg_score = psum / jnp.maximum(npix, 1.0)
-    vmax = jax.ops.segment_max(
-        jnp.where(assign_flat < n_slots, val, -jnp.inf), assign_flat,
-        num_segments=n_slots + 1)
-    # argmax pixel (first max, ties by smallest flat index like torch).
-    # vmax-per-pixel via one-hot reduce over the small slot axis: an
-    # (n_slots+1)-table per-pixel gather lowers to a ~40 ms/step fusion.
     slot_ids = jnp.arange(n_slots + 1)
-    vmax_px = jnp.sum(jnp.where(assign_flat[:, None] == slot_ids[None, :],
-                                vmax[None, :], 0.0), axis=1)
-    at_max = val >= vmax_px - 1e-12
-    pmax = -jax.ops.segment_max(
-        jnp.where(at_max, -flat_idx, -HW * 2), assign_flat,
-        num_segments=n_slots + 1)
+    hot = assign_flat[:, None] == slot_ids[None, :]       # (HW, S+1) lanes
+    npix = jnp.sum(hot.astype(jnp.float32), axis=0)
+    psum = jnp.sum(jnp.where(hot, prob[:, None], 0.0), axis=0)
+    seg_score = psum / jnp.maximum(npix, 1.0)
+    vmax = jnp.max(jnp.where(hot[:, :n_slots], val[:, None], -jnp.inf),
+                   axis=0)
+    vmax = jnp.concatenate([vmax, jnp.full((1,), -jnp.inf)])
+    # argmax pixel (first max, ties by smallest flat index like torch)
+    at_max = hot & (val[:, None] >= vmax[None, :] - 1e-12)
+    pmax = jnp.min(jnp.where(at_max, flat_idx[:, None], HW * 2), axis=0)
     py = (pmax // W).astype(jnp.float32)
     px = (pmax % W).astype(jnp.float32)
     return npix, seg_score, vmax, py, px
@@ -246,12 +247,11 @@ def refine_label_generation(seg_probs: jnp.ndarray, center_map: jnp.ndarray,
         eff, roots, comp_ok, center_map, offset_map, refine_thresh,
         nms_kernel, beta, max_ctr, max_cluster, cc_iters, C, first_class)
 
-    # ONE root-gated nearest-center assignment for every class's slots,
-    # via the per-root table (exact: the MAX_INST cap bounds valid centers
-    # per component at 5 <= k_per_root)
-    assign = assign_pixels_roottable(slots["ys"], slots["xs"],
-                                     slots["valid"], slots["root"],
-                                     offset_map, roots)
+    # ONE root-gated nearest-center assignment for every class's slots as
+    # a fused lane reduce over the S slots (no tables, no gathers)
+    assign = assign_pixels_lanes(slots["ys"], slots["xs"],
+                                 slots["valid"], slots["root"],
+                                 offset_map, roots)
     npix, seg_score, vmax, py, px = _slot_stats(
         slots, assign, eff, ch_spiked, seg_probs[..., 1 + first_class:],
         n_slots, first_class)
