@@ -102,6 +102,108 @@ def bench_step0(batch_size: int = 16, size: int = 512, steps: int = 20,
             "steps": steps, "dt": dt}
 
 
+def bench_coco_wrn(batch_size: int = 16, size: int = 448, steps: int = 10,
+                   n_batches: int = 2):
+    """COCO-to-VOC flagship memory-story bench (VERDICT r2 item 5): a FULL
+    WRN-38-A2 step-0 train step at the reference recipe's global batch 16,
+    crop 448, OS 8 (scripts/coco.sh:13) on ONE chip.
+
+    The reference needs inplace_abn to fit this (segmentation_module.py:5-6,
+    saving ~50% of activation memory on 8 GPUs x batch 2); here the step is
+    one XLA program whose fit is decided by the compiler's buffer assignment
+    — reported via memory_analysis so the claim is checkable. Set
+    CL4WSIS_BENCH_REMAT=1 to additionally rematerialize backbone blocks.
+    """
+    import os
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from cl4wsis_tpu.data.synthetic import synthetic_batches
+    from cl4wsis_tpu.models import make_model
+    from cl4wsis_tpu.train import schedule
+    from cl4wsis_tpu.train.phase2 import _cost_analysis_flops
+    from cl4wsis_tpu.train.step0 import init_state, make_step0_train_step
+
+    remat = os.environ.get("CL4WSIS_BENCH_REMAT", "0") == "1"
+    # step 0 of COCO-to-VOC trains the 60 non-VOC thing classes
+    # (tasks.py "voc" on coco; +1 bg)
+    model = make_model(classes=(61,), backbone="wider_resnet38_a2",
+                       output_stride=8, crop_size=size, dtype=jnp.bfloat16,
+                       remat=remat)
+    tx = schedule.make_optimizer(
+        None, "adam", schedule.make_schedule("poly", 5e-5, 10000))
+    state = init_state(model, tx, jax.random.PRNGKey(0),
+                       input_shape=(1, size, size, 3))
+    train_step = make_step0_train_step(model, tx, sigma=6, max_inst=50)
+
+    batches = []
+    for b in synthetic_batches(batch_size, size, n_classes=60, seed=0,
+                               n_batches=n_batches):
+        batches.append({"image": jax.device_put(jnp.asarray(b["image"])),
+                        "seg": jax.device_put(jnp.asarray(b["seg"])),
+                        "inst": jax.device_put(jnp.asarray(b["inst"]))})
+    rng = jax.random.PRNGKey(1)
+
+    compiled = train_step.lower(state, batches[0], rng).compile()
+    flops = _cost_analysis_flops(compiled)
+    mem = {}
+    try:
+        ma = compiled.memory_analysis()
+        mem = {"hbm_args_gb": round(ma.argument_size_in_bytes / 2**30, 2),
+               "hbm_temp_gb": round(ma.temp_size_in_bytes / 2**30, 2),
+               "hbm_output_gb": round(ma.output_size_in_bytes / 2**30, 2)}
+    except Exception:
+        pass
+
+    state, metrics = train_step(state, batches[0], rng)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, metrics = train_step(state, batches[i % n_batches],
+                                    jax.random.fold_in(rng, i))
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+    out = {"img_s": batch_size * steps / dt,
+           "tag": "coco_wrn38_step0" + ("_remat" if remat else ""),
+           "desc": f"COCO-to-VOC recipe, WRN-38 OS8, {size}^2 bs{batch_size} bf16",
+           "flops_per_step": flops, "batch_size": batch_size,
+           "steps": steps, "dt": dt}
+    out.update(mem)
+    # device-time ground truth (tunnel wall clock is fiction; CLAUDE.md)
+    try:
+        import shutil
+        import tempfile
+
+        from cl4wsis_tpu.utils.device_time import (device_time_report,
+                                                   main_module_times)
+        tdir = tempfile.mkdtemp(prefix="bench_trace_")
+        try:
+            with jax.profiler.trace(tdir):
+                for i in range(steps):
+                    state, metrics = train_step(
+                        state, batches[i % n_batches],
+                        jax.random.fold_in(rng, 99 + i))
+                jax.block_until_ready(metrics["loss"])
+            rep = device_time_report(tdir)
+            per_step = main_module_times(tdir)
+        finally:
+            shutil.rmtree(tdir, ignore_errors=True)
+        if rep["device_busy_s"] > 0:
+            out["device_dt"] = rep["device_busy_s"]
+            out["device_steps"] = steps
+            if per_step:
+                out["device_step_min"] = min(per_step)
+                out["device_step_mean"] = sum(per_step) / len(per_step)
+                out["device_step_n"] = len(per_step)
+    except Exception:
+        if jax.default_backend() == "tpu":
+            raise
+    return out
+
+
 class _JpegDataset:
     """Synthetic-decode workload: a real VOC-train-shaped sample — JPEG
     decode (500x375) + RandomResizedCrop-to-512 + flip + normalize + label
@@ -185,6 +287,8 @@ def main():
     which = os.environ.get("CL4WSIS_BENCH", "phase2")
     if which == "step0":
         r = bench_step0()
+    elif which == "coco_wrn":
+        r = bench_coco_wrn()
     elif which == "host":
         r = bench_host(num_workers=int(os.environ.get("CL4WSIS_WORKERS", "4")))
     else:
@@ -207,8 +311,9 @@ def main():
     kind = getattr(dev, "device_kind", str(dev.platform))
     peak = chip_peak_tflops(kind)
 
+    desc = r.get("desc", "VOC-15-5-shaped, 512^2 bf16")
     out = {
-        "metric": f"images/sec/chip ({r['tag']} train, VOC-15-5-shaped, 512^2 bf16)",
+        "metric": f"images/sec/chip ({r['tag']} train, {desc})",
         "value": round(img_s, 2),
         "unit": "img/s/chip",
         "vs_baseline": round(img_s / TARGET, 3),

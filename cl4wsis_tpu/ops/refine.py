@@ -34,17 +34,18 @@ from typing import Dict, Tuple
 import jax
 import jax.numpy as jnp
 
-from cl4wsis_tpu.ops.cc import (component_stats,
-                                connected_components_multilabel,
-                                select_components)
+from cl4wsis_tpu.ops import segsort as ss
+from cl4wsis_tpu.ops.cc import connected_components_multilabel
 from cl4wsis_tpu.ops.grouping import assign_pixels_lanes
 from cl4wsis_tpu.ops.labelgen import stamp_centers
 from cl4wsis_tpu.ops.peaks import max_pool_same
 from cl4wsis_tpu.ops.topk import topk_hier
-from cl4wsis_tpu.ops.pseudo_labels import MAXIMUM_NUM_INST, MINIMUM_MASK_SIZE
+from cl4wsis_tpu.ops.pseudo_labels import (MAXIMUM_NUM_INST,
+                                           MINIMUM_MASK_SIZE, Components,
+                                           class_components)
 
 
-def _global_center_slots(eff, roots, comp_ok, center_map, offset_map,
+def _global_center_slots(eff, roots, ok_plane, center_map, offset_map,
                          threshold, nms_kernel, beta, max_ctr, max_cluster,
                          cc_iters, num_classes, first_class=0,
                          max_inst_cap=True):
@@ -74,7 +75,7 @@ def _global_center_slots(eff, roots, comp_ok, center_map, offset_map,
     n_xs = (n_idx % W).astype(jnp.int32)
     n_valid = n_vals > 0
     n_root = roots[n_ys, n_xs]
-    n_valid = n_valid & (n_root != HW) & comp_ok[n_root]
+    n_valid = n_valid & (n_root != HW) & ok_plane[n_ys, n_xs]
     # NMS centers beyond the slot cap are silently dropped relative to the
     # reference's top_k=10000 (train.py:497); count them so callers surface
     # saturation instead of hiding it. (Cluster-slot overflow is counted
@@ -83,17 +84,25 @@ def _global_center_slots(eff, roots, comp_ok, center_map, offset_map,
     truncated = jnp.sum(jnp.maximum(nms_counts - max_ctr, 0))
 
     # offset-cluster components (modules/utils.py:608-632), all classes in
-    # one multi-label pass
+    # one multi-label pass; stats in ONE sorted-domain pass (no root-table
+    # scatters — see ops/pseudo_labels.Components). The element's own class
+    # rides the sort as a payload (runs are class-pure), so per-class
+    # selection is a flag cumsum in sorted (= ascending-root) order.
     mag = jnp.sqrt(jnp.square(offset_map[..., 0]) +
                    jnp.square(offset_map[..., 1]))
-    weak_eff = jnp.where(mag < 2.5, eff, 0)
+    weak_eff = jnp.where(mag < 2.5, eff, 0).astype(jnp.int32)
     roots_w = connected_components_multilabel(weak_eff, connectivity=4,
                                               num_iters=cc_iters)
-    area_w, cyw, cxw = component_stats(roots_w)
-    accept_w = (area_w > 21 - beta) & (area_w < 21 + beta)
-    accept_w = accept_w.at[HW].set(False)
-    rc_w = jnp.where(jnp.arange(HW + 1) < HW,
-                     jnp.pad(eff.reshape(-1), (0, 1)), 0)  # root's class
+    idx = jnp.arange(HW, dtype=jnp.int32)
+    skw, sidxw, sclsw = ss.sort_by(roots_w.reshape(-1), idx,
+                                   weak_eff.reshape(-1))
+    startsw = ss.run_starts(skw)
+    endsw = ss.run_ends(skw)
+    area_w = ss.seg_length(startsw, endsw)
+    den_w = jnp.maximum(area_w, 1).astype(jnp.float32)
+    cyw_e = ss.seg_total(sidxw // W, startsw, endsw).astype(jnp.float32) / den_w
+    cxw_e = ss.seg_total(sidxw % W, startsw, endsw).astype(jnp.float32) / den_w
+    accept_w = (skw < HW) & (area_w > 21 - beta) & (area_w < 21 + beta)
 
     # probe window: select TWICE the cap so the validity checks (heat,
     # component, 100px merge) run on the overflow candidates too — a
@@ -106,17 +115,18 @@ def _global_center_slots(eff, roots, comp_ok, center_map, offset_map,
     k2 = 2 * max_cluster
 
     def cluster_slots(cls_id):
-        acc = accept_w & (rc_w == cls_id + 1)
-        sel = select_components(acc, k2)
-        return sel, acc[sel]
+        fl = startsw & accept_w & (sclsw == cls_id + 1)
+        pos = ss.select_flagged(fl, k2)
+        posc = jnp.minimum(pos, HW - 1)
+        return posc, (pos < HW) & fl[posc]
 
-    # per-class top-k over the (HW+1,) accept mask, batched via vmap
-    c_sel, c_acc = jax.vmap(cluster_slots)(classes)
-    c_ys = jnp.floor(cyw[c_sel]).astype(jnp.int32)    # (NC, k2)
-    c_xs = jnp.floor(cxw[c_sel]).astype(jnp.int32)
+    # per-class first-k2 accepted components, batched via vmap
+    c_pos, c_acc = jax.vmap(cluster_slots)(classes)
+    c_ys = jnp.floor(cyw_e[c_pos]).astype(jnp.int32)  # (NC, k2)
+    c_xs = jnp.floor(cxw_e[c_pos]).astype(jnp.int32)
     c_root = roots[c_ys, c_xs]
     ch_at = ch_all[c_ys, c_xs, jnp.arange(nc)[:, None]]
-    c_valid = c_acc & (ch_at > 0.05) & (c_root != HW) & comp_ok[c_root]
+    c_valid = c_acc & (ch_at > 0.05) & (c_root != HW) & ok_plane[c_ys, c_xs]
     # merge rule: accept a cluster center only if >100px from every valid
     # NMS center of the same component (same class by root purity)
     d2 = (jnp.square(c_ys[:, :, None] - n_ys[:, None, :]).astype(jnp.float32) +
@@ -149,13 +159,13 @@ def _global_center_slots(eff, roots, comp_ok, center_map, offset_map,
         # skips the contour when n_ins > MAXIMUM_NUM_INST — train only; the
         # eval get_ins_map has no such cap, dataset/utils.py:836-880).
         # Roots are class-pure so one global per-root count matches the
-        # per-class rule. Side effect: every root then has <= MAX_INST
-        # valid centers, enabling the per-root table assignment.
-        per_root = jax.ops.segment_sum(
-            slots["valid"].astype(jnp.int32),
-            jnp.where(slots["valid"], slots["root"], HW),
-            num_segments=HW + 1)
-        slots["valid"] = slots["valid"] & (per_root[slots["root"]] <= MAXIMUM_NUM_INST)
+        # per-class rule. An S x S lane compare over the ~120 slots, not an
+        # HW-table segment_sum: per_root[root[s]] == #valid slots sharing s's
+        # root, for every slot at once.
+        v, r = slots["valid"], slots["root"]
+        per_root = jnp.sum((v[None, :] & (r[:, None] == r[None, :]))
+                           .astype(jnp.int32), axis=1)
+        slots["valid"] = v & (per_root <= MAXIMUM_NUM_INST)
     return slots, ch_spiked, truncated
 
 
@@ -235,16 +245,23 @@ def refine_label_generation(seg_probs: jnp.ndarray, center_map: jnp.ndarray,
     xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
 
     # shared fixpoint pass: every class's components at once (reused from
-    # the caller's pseudo-label pass when provided — identical input)
+    # the caller's pseudo-label pass when provided — identical input).
+    # Component stats arrive as per-pixel planes (Components.packed_px):
+    # the ok bit and floored centroid of pixel (y, x)'s component — every
+    # former table[root] read becomes a plane read at the probing pixel.
     if components is None:
-        from cl4wsis_tpu.ops.pseudo_labels import class_components
         components = class_components(gt_seg, label, C, first_class,
                                       cc_iters)
-    eff, roots, area, comp_cy, comp_cx = components
-    comp_ok = area >= MINIMUM_MASK_SIZE
+    comp: Components = components
+    eff, roots = comp.eff, comp.roots
+    pkm = comp.packed_px
+    ok_plane = (pkm // HW) % 2 == 1            # area >= MINIMUM_MASK_SIZE
+    rem_plane = pkm % HW
+    cyf_plane = (rem_plane // W).astype(jnp.float32)   # floor(centroid y)
+    cxf_plane = (rem_plane % W).astype(jnp.float32)
 
     slots, ch_spiked, truncated = _global_center_slots(
-        eff, roots, comp_ok, center_map, offset_map, refine_thresh,
+        eff, roots, ok_plane, center_map, offset_map, refine_thresh,
         nms_kernel, beta, max_ctr, max_cluster, cc_iters, C, first_class)
 
     # ONE root-gated nearest-center assignment for every class's slots as
@@ -261,10 +278,12 @@ def refine_label_generation(seg_probs: jnp.ndarray, center_map: jnp.ndarray,
     slot_ok = slots["valid"] & (npix[:n_slots] > 0)
 
     use_seg_center = center_score < refine_thresh
-    out_y = jnp.where(use_seg_center,
-                      jnp.floor(comp_cy[slots["root"]]), py[:n_slots])
-    out_x = jnp.where(use_seg_center,
-                      jnp.floor(comp_cx[slots["root"]]), px[:n_slots])
+    # the slot's own coordinates index its component's centroid plane
+    # (plane[y, x] == old_table[roots[y, x]])
+    slot_cyf = cyf_plane[slots["ys"], slots["xs"]]
+    slot_cxf = cxf_plane[slots["ys"], slots["xs"]]
+    out_y = jnp.where(use_seg_center, slot_cyf, py[:n_slots])
+    out_x = jnp.where(use_seg_center, slot_cxf, px[:n_slots])
     conf = jnp.where(use_seg_center, seg_score, center_score * seg_score)
     conf = jnp.clip(conf, 0.0, 1.0)
 

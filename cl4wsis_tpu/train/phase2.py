@@ -146,9 +146,13 @@ def make_phase2_train_step(model, model_old, pseudolabeler, peakgenerator,
         # each pass was a top-3 cost of the whole step in the round-2
         # profile, and it used to run twice).
         from cl4wsis_tpu.ops.pseudo_labels import class_components
-        comps = jax.vmap(partial(class_components, num_classes=n_things,
-                                 first_class=old_things,
-                                 cc_iters=cc_iters))(seg_gt, cls_label)
+        # peaks ride the shared sorted-domain pass (per-component valid-peak
+        # counts are a segmented scan there, not an HW-table segment_sum)
+        comps = jax.vmap(
+            lambda s, cl, py, px, pv: class_components(
+                s, cl, num_classes=n_things, first_class=old_things,
+                cc_iters=cc_iters, peak_ys=py, peak_xs=px, peak_valid=pv))(
+            seg_gt, cls_label, peak_ys, peak_xs, peak_valid)
         pl_fn = partial(pseudo_label_generation, num_classes=n_things,
                         sigma=sigma, max_comp=max_comp, cc_iters=cc_iters,
                         first_class=old_things)
