@@ -26,22 +26,6 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-_NEI4 = ((-1, 0), (1, 0), (0, -1), (0, 1))
-_NEI8 = _NEI4 + ((-1, -1), (-1, 1), (1, -1), (1, 1))
-
-
-def _neighbor_min(lab: jnp.ndarray, mask: jnp.ndarray, connectivity: int) -> jnp.ndarray:
-    H, W = lab.shape
-    big = jnp.iinfo(lab.dtype).max
-    out = lab
-    offs = _NEI8 if connectivity == 8 else _NEI4
-    padded = jnp.pad(lab, 1, constant_values=big)
-    for dy, dx in offs:
-        nb = jax.lax.dynamic_slice(padded, (1 + dy, 1 + dx), (H, W))
-        out = jnp.minimum(out, nb)
-    return jnp.where(mask, out, big)
-
-
 def _segmented_cummin(lab: jnp.ndarray, mask: jnp.ndarray, axis: int,
                       reverse: bool) -> jnp.ndarray:
     """Cumulative min along `axis` that resets at mask-run boundaries.
@@ -92,8 +76,24 @@ def connected_components(mask: jnp.ndarray, connectivity: int = 8,
            jax.lax.broadcasted_iota(jnp.int32, (H, W), 1))
     lab = jnp.where(mask, idx, big)
 
+    # h/v edges are fully propagated by the scans; the neighbor-min block
+    # only needs the diagonals (connectivity 8), with masks hoisted out of
+    # the fixpoint loop (see connected_components_multilabel)
+    pmask = jnp.pad(mask, 1, constant_values=False)
+    diag = []
+    if connectivity == 8:
+        for dy, dx in ((-1, -1), (-1, 1), (1, -1), (1, 1)):
+            nm = jax.lax.dynamic_slice(pmask, (1 + dy, 1 + dx), (H, W))
+            diag.append(((dy, dx), nm & mask))
+
     def sweep(lab):
-        lab = _neighbor_min(lab, mask, connectivity)
+        if diag:
+            m = lab
+            plab = jnp.pad(lab, 1, constant_values=big)
+            for (dy, dx), ok in diag:
+                nb = jax.lax.dynamic_slice(plab, (1 + dy, 1 + dx), (H, W))
+                m = jnp.minimum(m, jnp.where(ok, nb, big))
+            lab = jnp.where(mask, m, big)
         lab = _segmented_cummin(lab, mask, axis=1, reverse=False)
         lab = _segmented_cummin(lab, mask, axis=1, reverse=True)
         lab = _segmented_cummin(lab, mask, axis=0, reverse=False)
@@ -117,42 +117,6 @@ def connected_components(mask: jnp.ndarray, connectivity: int = 8,
 
     _, lab, _ = jax.lax.while_loop(cond, body, (0, lab, True))
     return jnp.where(mask, lab, H * W).astype(jnp.int32)
-
-
-def _neighbor_min_ml(lab: jnp.ndarray, cls: jnp.ndarray,
-                     connectivity: int) -> jnp.ndarray:
-    """Neighbor min where edges exist only between pixels of EQUAL class."""
-    H, W = lab.shape
-    big = jnp.iinfo(lab.dtype).max
-    out = lab
-    offs = _NEI8 if connectivity == 8 else _NEI4
-    plab = jnp.pad(lab, 1, constant_values=big)
-    pcls = jnp.pad(cls, 1, constant_values=-1)
-    for dy, dx in offs:
-        nb = jax.lax.dynamic_slice(plab, (1 + dy, 1 + dx), (H, W))
-        nc = jax.lax.dynamic_slice(pcls, (1 + dy, 1 + dx), (H, W))
-        out = jnp.minimum(out, jnp.where(nc == cls, nb, big))
-    return jnp.where(cls > 0, out, big)
-
-
-def _segmented_cummin_ml(lab: jnp.ndarray, cls: jnp.ndarray, axis: int,
-                         reverse: bool) -> jnp.ndarray:
-    """Segmented cummin whose runs break wherever the class value changes."""
-    big = jnp.iinfo(lab.dtype).max
-    prev = jnp.roll(cls, 1 - 2 * int(reverse), axis=axis)
-    edge = jax.lax.broadcasted_iota(jnp.int32, cls.shape, axis)
-    n = cls.shape[axis]
-    at_border = edge == (n - 1 if reverse else 0)
-    start = (cls != prev) | (cls <= 0) | at_border
-
-    def op(a, b):
-        va, ra = a
-        vb, rb = b
-        return jnp.where(rb, vb, jnp.minimum(va, vb)), ra | rb
-
-    v, _ = jax.lax.associative_scan(
-        op, (jnp.where(cls > 0, lab, big), start), axis=axis, reverse=reverse)
-    return jnp.where(cls > 0, jnp.minimum(lab, v), big)
 
 
 @partial(jax.jit, static_argnames=("connectivity", "num_iters"))
@@ -190,12 +154,50 @@ def connected_components_multilabel(cls_map: jnp.ndarray,
     fg = cls > 0
     lab = jnp.where(fg, idx, big)
 
+    # Loop-invariant hoisting: the row/col segmented scans fully propagate
+    # every horizontal/vertical same-class edge, so the neighbor-min block
+    # only has to carry the DIAGONAL edges (none at connectivity 4 — the
+    # whole block drops). Each diagonal's same-class edge mask and the four
+    # scans' run-start flags depend only on `cls`, so compute them ONCE
+    # here; inside the while body they are loop constants, not per-sweep
+    # recomputation (halves the per-sweep op count vs the round-2 form).
+    pcls = jnp.pad(cls, 1, constant_values=-1)
+    diag = []
+    if connectivity == 8:
+        for dy, dx in ((-1, -1), (-1, 1), (1, -1), (1, 1)):
+            nc = jax.lax.dynamic_slice(pcls, (1 + dy, 1 + dx), (H, W))
+            diag.append(((dy, dx), (nc == cls) & fg))
+    starts = {}
+    for axis in (0, 1):
+        n = cls.shape[axis]
+        edge = jax.lax.broadcasted_iota(jnp.int32, cls.shape, axis)
+        for reverse in (False, True):
+            prev = jnp.roll(cls, 1 - 2 * int(reverse), axis=axis)
+            at_border = edge == (n - 1 if reverse else 0)
+            starts[(axis, reverse)] = (cls != prev) | ~fg | at_border
+
+    def scan(lab, axis, reverse):
+        def op(a, b):
+            va, ra = a
+            vb, rb = b
+            return jnp.where(rb, vb, jnp.minimum(va, vb)), ra | rb
+        v, _ = jax.lax.associative_scan(
+            op, (jnp.where(fg, lab, big), starts[(axis, reverse)]),
+            axis=axis, reverse=reverse)
+        return jnp.where(fg, jnp.minimum(lab, v), big)
+
     def sweep(lab):
-        lab = _neighbor_min_ml(lab, cls, connectivity)
-        lab = _segmented_cummin_ml(lab, cls, axis=1, reverse=False)
-        lab = _segmented_cummin_ml(lab, cls, axis=1, reverse=True)
-        lab = _segmented_cummin_ml(lab, cls, axis=0, reverse=False)
-        lab = _segmented_cummin_ml(lab, cls, axis=0, reverse=True)
+        if diag:
+            m = lab
+            plab = jnp.pad(lab, 1, constant_values=big)
+            for (dy, dx), ok in diag:
+                nb = jax.lax.dynamic_slice(plab, (1 + dy, 1 + dx), (H, W))
+                m = jnp.minimum(m, jnp.where(ok, nb, big))
+            lab = jnp.where(fg, m, big)
+        lab = scan(lab, axis=1, reverse=False)
+        lab = scan(lab, axis=1, reverse=True)
+        lab = scan(lab, axis=0, reverse=False)
+        lab = scan(lab, axis=0, reverse=True)
         # no pointer-jumping: each hop is a full-plane arbitrary gather (the
         # priciest op on TPU) and the device A/B showed dropping both hops
         # beats keeping them (2.49 -> 1.90 s/step). Fixpoint => exact roots

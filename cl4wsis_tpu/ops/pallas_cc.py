@@ -100,14 +100,16 @@ def _cc_compute(mask, num_iters, H, W):
     bg = jnp.logical_not(mask)
     idx = _row_ids(H, W) * W + _col_ids(H, W)
     lab0 = jnp.where(mask, idx, _BIG)
+    # h/v edges are fully propagated by the scans — the neighbor block only
+    # carries the diagonals, with edge masks hoisted out of the fixpoint loop
+    diags = tuple(((dy, dx),
+                   (_shift(mask.astype(jnp.int32), dy, dx, 0) > 0) & mask)
+                  for dy, dx in ((-1, -1), (-1, 1), (1, -1), (1, 1)))
 
     def sweep(lab):
         m = lab
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                if dy == 0 and dx == 0:
-                    continue
-                m = jnp.minimum(m, _shift(lab, dy, dx, _BIG))
+        for (dy, dx), ok in diags:
+            m = jnp.minimum(m, jnp.where(ok, _shift(lab, dy, dx, _BIG), _BIG))
         lab = jnp.where(mask, jnp.minimum(lab, m), _BIG)
         lab = _seg_cummin(lab, bg, 1, False)
         lab = _seg_cummin(lab, bg, 1, True)
@@ -211,9 +213,14 @@ def _cc_ml_compute(cls, num_iters, H, W, connectivity):
     bg = cls <= 0
     idx = _row_ids(H, W) * W + _col_ids(H, W)
     lab0 = jnp.where(bg, _BIG, idx)
-    offs = ([(-1, 0), (1, 0), (0, -1), (0, 1)] if connectivity == 4 else
-            [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)
-             if (dy, dx) != (0, 0)])
+    # h/v edges are fully propagated by the scans — the neighbor block only
+    # carries the diagonals (none at connectivity 4), with same-class edge
+    # masks hoisted out of the fixpoint loop (loop constants, not per-sweep
+    # recomputation)
+    offs = (() if connectivity == 4 else
+            ((-1, -1), (-1, 1), (1, -1), (1, 1)))
+    diags = tuple(((dy, dx), (~bg) & (_shift(cls, dy, dx, -1) == cls))
+                  for dy, dx in offs)
     # run-start flags per scan direction: bg, class change, or border
     start_fx = bg | (cls != _shift(cls, 0, -1, -1))
     start_rx = bg | (cls != _shift(cls, 0, 1, -1))
@@ -222,10 +229,8 @@ def _cc_ml_compute(cls, num_iters, H, W, connectivity):
 
     def sweep(lab):
         m = lab
-        for dy, dx in offs:
-            ls = _shift(lab, dy, dx, _BIG)
-            cs = _shift(cls, dy, dx, -1)
-            m = jnp.minimum(m, jnp.where(cs == cls, ls, _BIG))
+        for (dy, dx), ok in diags:
+            m = jnp.minimum(m, jnp.where(ok, _shift(lab, dy, dx, _BIG), _BIG))
         lab = jnp.where(bg, _BIG, jnp.minimum(lab, m))
         lab = _seg_cummin_flags(lab, bg, start_fx, 1, False)
         lab = _seg_cummin_flags(lab, bg, start_rx, 1, True)
