@@ -51,16 +51,70 @@ def make_phase2_train_step(model, model_old, pseudolabeler, peakgenerator,
                            max_ctr: int = 16,
                            max_cluster: int = 8,
                            max_comp: int = 64,
-                           cc_iters: int = 64) -> Callable:
+                           cc_iters: int = 64,
+                           mesh=None) -> Callable:
     """Build the phase-2 step.
 
     params tree: {"model": ...}; pseudolabeler/peakgenerator variables ride
     in `aux_vars` (frozen, trained in phase 1). `old_vars` is the frozen
     previous-step model.
+
+    `mesh`: the data mesh when training multi-chip. The label factory's CC
+    fixpoint `while_loop`s stop on `jnp.any(changed)`; under plain GSPMD
+    over a sharded batch that condition is a cross-chip all-reduce EVERY
+    sweep (tens of iterations x 2 CC passes x collective latency — the
+    8-device CPU dryrun spent 200s in them). The factory is per-image, so
+    with a mesh it runs under `jax.shard_map`: each device iterates to its
+    OWN local fixpoint with zero collectives.
     """
     tot_classes = model.tot_classes
     n_things = tot_classes - 1
     old_things = old_classes - 1
+
+    from cl4wsis_tpu.ops.pseudo_labels import class_components
+
+    def label_factory(seg_gt, cls_label, peak_ys, peak_xs, peak_valid,
+                      soft, center_sg, offset_sg):
+        """Per-image label factory (class CC + pseudo labels + refinement).
+        Everything is independent per batch element — safe to shard_map."""
+        # the class-CC fixpoint pass + stats are computed ONCE and shared
+        # between the pseudo-label and refinement ops (identical (seg,
+        # label) input — each pass was a top-3 cost of the whole step in
+        # the round-2 profile, and it used to run twice). Peaks ride the
+        # shared sorted-domain pass (per-component valid-peak counts are a
+        # segmented scan there, not an HW-table segment_sum).
+        comps = jax.vmap(
+            lambda s, cl, py, px, pv: class_components(
+                s, cl, num_classes=n_things, first_class=old_things,
+                cc_iters=cc_iters, peak_ys=py, peak_xs=px, peak_valid=pv))(
+            seg_gt, cls_label, peak_ys, peak_xs, peak_valid)
+        pl_fn = partial(pseudo_label_generation, num_classes=n_things,
+                        sigma=sigma, max_comp=max_comp, cc_iters=cc_iters,
+                        first_class=old_things)
+        pc, po, pw, _, p_trunc = jax.vmap(
+            lambda s, py, px, pv, cl, comp: pl_fn(s, py, px, pv, cl,
+                                                  components=comp))(
+            seg_gt, peak_ys, peak_xs, peak_valid, cls_label, comps)
+        out = {"pc": pc, "po": po, "pw": pw, "p_trunc": p_trunc}
+        if run_refine:
+            rf_fn = partial(refine_label_generation, num_classes=n_things,
+                            sigma=sigma, refine_thresh=refine_thresh,
+                            nms_kernel=nms_kernel, beta=beta, max_ctr=max_ctr,
+                            max_cluster=max_cluster, cc_iters=cc_iters,
+                            first_class=old_things)
+            out["refined"] = jax.vmap(
+                lambda sp, c, o, cl, s, comp: rf_fn(sp, c, o, cl, s,
+                                                    components=comp))(
+                soft, center_sg, offset_sg, cls_label, seg_gt, comps)
+        return out
+
+    if mesh is not None and mesh.size > 1:
+        from cl4wsis_tpu.core.mesh import DATA_AXIS
+        from jax.sharding import PartitionSpec as P
+        spec = P(DATA_AXIS)
+        label_factory = jax.shard_map(label_factory, mesh=mesh,
+                                      in_specs=spec, out_specs=spec,
+                                      check_vma=False)
 
     def loss_fn(params, stats, batch, old_vars, aux_vars, rng):
         images, l1h = batch["image"], batch["l1h"]
@@ -138,42 +192,18 @@ def make_phase2_train_step(model, model_old, pseudolabeler, peakgenerator,
         cls_label = l1h.at[:, :old_things].set(0.0)   # new classes only
         peak_valid = (peak_conf >= pseudo_thresh) & (cls_label[:, :, None] > 0)
 
-        # ---- pseudo labels (device label factory) -------------------------
+        # ---- pseudo labels + self-refinement (device label factory) -------
         # only NEW classes can produce labels (old cls_label entries are 0),
-        # so skip the old classes' CC/matching work entirely. The class-CC
-        # fixpoint pass + stats are computed ONCE and shared between the
-        # pseudo-label and refinement ops (identical (seg, label) input —
-        # each pass was a top-3 cost of the whole step in the round-2
-        # profile, and it used to run twice).
-        from cl4wsis_tpu.ops.pseudo_labels import class_components
-        # peaks ride the shared sorted-domain pass (per-component valid-peak
-        # counts are a segmented scan there, not an HW-table segment_sum)
-        comps = jax.vmap(
-            lambda s, cl, py, px, pv: class_components(
-                s, cl, num_classes=n_things, first_class=old_things,
-                cc_iters=cc_iters, peak_ys=py, peak_xs=px, peak_valid=pv))(
-            seg_gt, cls_label, peak_ys, peak_xs, peak_valid)
-        pl_fn = partial(pseudo_label_generation, num_classes=n_things,
-                        sigma=sigma, max_comp=max_comp, cc_iters=cc_iters,
-                        first_class=old_things)
-        pc, po, pw, _, p_trunc = jax.vmap(
-            lambda s, py, px, pv, cl, comp: pl_fn(s, py, px, pv, cl,
-                                                  components=comp))(
-            seg_gt, peak_ys, peak_xs, peak_valid, cls_label, comps)
-        label_truncated = jnp.sum(p_trunc)
+        # so skip the old classes' CC/matching work entirely. Runs under
+        # shard_map on a multi-chip mesh (see make_phase2_train_step doc).
+        fac = label_factory(seg_gt, cls_label, peak_ys, peak_xs, peak_valid,
+                            soft, jax.lax.stop_gradient(center_out),
+                            jax.lax.stop_gradient(offset_out))
+        pc, po, pw = fac["pc"], fac["po"], fac["pw"]
+        label_truncated = jnp.sum(fac["p_trunc"])
 
-        # ---- self-refinement ----------------------------------------------
         if run_refine:
-            rf_fn = partial(refine_label_generation, num_classes=n_things,
-                            sigma=sigma, refine_thresh=refine_thresh,
-                            nms_kernel=nms_kernel, beta=beta, max_ctr=max_ctr,
-                            max_cluster=max_cluster, cc_iters=cc_iters,
-                            first_class=old_things)
-            refined = jax.vmap(
-                lambda sp, c, o, cl, s, comp: rf_fn(sp, c, o, cl, s,
-                                                    components=comp))(
-                soft, jax.lax.stop_gradient(center_out),
-                jax.lax.stop_gradient(offset_out), cls_label, seg_gt, comps)
+            refined = fac["refined"]
             label_truncated = label_truncated + jnp.sum(refined["truncated"])
             pw_sum = jnp.maximum(old_fg, pw)
             pc_new = pw * pc[..., old_things:] + \

@@ -190,7 +190,7 @@ class Trainer:
                     refine_thresh=cfg.refine_thresh, nms_kernel=cfg.kernel,
                     beta=cfg.beta, run_refine=cfg.run_refine,
                     max_ctr=cfg.max_ctr, max_cluster=cfg.max_cluster,
-                    max_comp=cfg.max_comp)
+                    max_comp=cfg.max_comp, mesh=self.mesh)
             return self._train_steps["p2"]
         if "p0" not in self._train_steps:
             # reference default (no --bce/--dce) is nn.BCEWithLogitsLoss on a

@@ -91,3 +91,29 @@ def test_phase2_no_refine_variant():
                                   max_peaks=8, cc_iters=8, run_refine=False)
     state, metrics = step(state, batch, ov, aux, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"])), metrics
+
+
+def test_phase2_shardmap_factory_matches_gspmd():
+    """With `mesh` the label factory runs under shard_map (device-local CC
+    fixpoints, no per-sweep collectives); the step must produce the same
+    loss as the plain-GSPMD program on the same sharded batch."""
+    model, model_old, pl_mod, pg_mod, tx, state, ov, aux = _setup()
+    mesh = create_mesh()
+    state = replicate(state, mesh)
+    ov, aux = replicate(ov, mesh), replicate(aux, mesh)
+    b = next(synthetic_batches(8, 64, n_classes=TOT - 1, seed=2, n_batches=1))
+    batch = shard_batch({"image": jnp.asarray(b["image"]),
+                         "l1h": jnp.asarray(b["l1h"][:, 1:])}, mesh)
+    common = dict(old_classes=OLD, nms_kernel=15, max_peaks=8, cc_iters=8)
+    step_plain = make_phase2_train_step(model, model_old, pl_mod, pg_mod,
+                                        tx, **common)
+    step_sm = make_phase2_train_step(model, model_old, pl_mod, pg_mod,
+                                     tx, mesh=mesh, **common)
+    # donate_argnums=0: run each step on its own copy of the state
+    state2 = jax.tree_util.tree_map(jnp.copy, state)
+    _, m_plain = step_plain(state, batch, ov, aux, jax.random.PRNGKey(7))
+    _, m_sm = step_sm(state2, batch, ov, aux, jax.random.PRNGKey(7))
+    np.testing.assert_allclose(float(m_plain["loss"]), float(m_sm["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_array_equal(int(m_plain["label_truncated"]),
+                                  int(m_sm["label_truncated"]))
