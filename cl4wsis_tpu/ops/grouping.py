@@ -93,10 +93,17 @@ def assign_pixels_lanes(ctr_y: jnp.ndarray, ctr_x: jnp.ndarray,
     roottable variant gathers each pixel's 8-entry candidate row from a
     per-root table — a ~93 ms/step per-pixel gather fusion on the round-3
     trace. Here every pixel evaluates all S slots as a lane axis: at
-    S=120, that is ~5 G fused VPU ops at 512^2 bs16 (~1-2 ms) and zero
+    S=120, that is ~5 G fused VPU ops at 512^2 bs16 and zero
     gathers/scatters. (The round-2 chunked scan this superficially
     resembles was slow because of its per-chunk argmin+take_along_axis
     GATHERS, not the distance math.)
+
+    The winner is argmin + min as two plain lane REDUCES: XLA recomputes
+    the broadcast distance expression inside each reduce and materializes
+    nothing of shape (HW, S). (History: an ismin -> cumsum==1 -> sum
+    first-hit select forced a pred[16,262144,120] intermediate into HBM —
+    ~49 ms/step, the biggest op of the whole round-3 trace. jnp.argmin's
+    first-occurrence tie-break equals the cumsum select.)
     """
     S = ctr_y.shape[0]
     H, W = pixel_root.shape
@@ -109,11 +116,9 @@ def assign_pixels_lanes(ctr_y: jnp.ndarray, ctr_x: jnp.ndarray,
          jnp.square(loc_x[:, None] - ctr_x[None, :].astype(jnp.float32)))
     ok = ctr_valid[None, :] & (proot[:, None] == ctr_root[None, :])
     d = jnp.where(ok, d, jnp.inf)
-    dmin = jnp.min(d, axis=1)
-    ismin = d == dmin[:, None]
-    first = ismin & (jnp.cumsum(ismin.astype(jnp.int32), axis=1) == 1)
-    best = jnp.sum(jnp.where(first, jnp.arange(S), 0), axis=1)
-    return jnp.where(jnp.isfinite(dmin), best, S).astype(jnp.int32).reshape(H, W)
+    best = jnp.argmin(d, axis=1).astype(jnp.int32)
+    has = jnp.isfinite(jnp.min(d, axis=1))
+    return jnp.where(has, best, S).reshape(H, W)
 
 
 @partial(jax.jit, static_argnames=("k_per_root",))
