@@ -322,6 +322,11 @@ def main():
         "chip": kind,
         "steps": r["steps"],
     }
+    # compiled-program HBM footprint (memory_analysis) — the checkable form
+    # of the iABN memory-story claim (VERDICT r2 item 5)
+    for k in ("hbm_args_gb", "hbm_temp_gb", "hbm_output_gb"):
+        if k in r:
+            out[k] = r[k]
     # wall-clock audit block: everything derived from the tunnel's wall
     # clock lives HERE and only here — it is known-unreliable (acks
     # block_until_ready early), so none of it may be read against the
