@@ -180,19 +180,31 @@ def assign_pixels_roottable(ctr_y: jnp.ndarray, ctr_x: jnp.ndarray,
     return jnp.where(has, best, S).astype(jnp.int32).reshape(H, W)
 
 
-@partial(jax.jit, static_argnames=("chunk",))
 def assign_pixels(ctr_y: jnp.ndarray, ctr_x: jnp.ndarray, ctr_valid: jnp.ndarray,
                   ctr_root: jnp.ndarray, offsets: jnp.ndarray,
-                  pixel_root: jnp.ndarray, chunk: int = 16) -> jnp.ndarray:
+                  pixel_root: jnp.ndarray) -> jnp.ndarray:
     """Assign each pixel to the nearest valid center sharing its root.
 
     ctr_*: (S,) slot arrays; offsets (H,W,2) (y,x); pixel_root (H,W).
     Returns (H, W) int32 slot index, or S (no center available / background).
+
+    Dispatches to the argmin lane reduce: the round-3 device A/B
+    (scripts/bench_assign_ab.py, eval shapes 512² x 480 slots) measured it
+    156x faster than the chunked scan (82.06 -> 0.526 ms/call, exact match),
+    which also obsoleted the opt-in Pallas assignment kernel (deleted — the
+    pure-XLA reduce already streams at memory speed with zero gathers).
     """
-    from cl4wsis_tpu.ops import pallas_assign
-    if pallas_assign.available():
-        return pallas_assign.assign_pixels_pallas(
-            ctr_y, ctr_x, ctr_valid, ctr_root, offsets, pixel_root)
+    return assign_pixels_lanes(ctr_y, ctr_x, ctr_valid, ctr_root, offsets,
+                               pixel_root)
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def assign_pixels_scan(ctr_y: jnp.ndarray, ctr_x: jnp.ndarray,
+                       ctr_valid: jnp.ndarray, ctr_root: jnp.ndarray,
+                       offsets: jnp.ndarray, pixel_root: jnp.ndarray,
+                       chunk: int = 16) -> jnp.ndarray:
+    """Chunked-scan reference implementation (independent oracle for tests
+    and the scripts/bench_assign_ab.py A/B; not dispatched in production)."""
     S = ctr_y.shape[0]
     pad = (-S) % chunk
     if pad:

@@ -21,12 +21,9 @@ import subprocess
 import sys
 
 VARIANTS = {
-    "baseline": {},
+    "baseline": {},  # round 3+: includes the Pallas CC default
     "pallas_abn": {"CL4WSIS_PALLAS_ABN": "1"},
-    "pallas_assign": {"CL4WSIS_PALLAS_ASSIGN": "1"},
-    "pallas_cc": {"CL4WSIS_PALLAS_CC": "1"},
-    "all_pallas": {"CL4WSIS_PALLAS_ABN": "1", "CL4WSIS_PALLAS_ASSIGN": "1",
-                   "CL4WSIS_PALLAS_CC": "1"},
+    "no_pallas_cc": {"CL4WSIS_PALLAS_CC": "0"},
     "cc8": {"CL4WSIS_BENCH_CC_ITERS": "8"},
     "cc16": {"CL4WSIS_BENCH_CC_ITERS": "16"},
 }
@@ -41,7 +38,7 @@ def run_variant(name: str) -> dict:
     out = subprocess.run(
         [sys.executable, os.path.join(os.path.dirname(__file__), "..",
                                       "bench.py")],
-        env=env, capture_output=True, text=True, timeout=900)
+        env=env, capture_output=True, text=True, timeout=3600)
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
     rec = json.loads(line[-1]) if line else {"error": out.stderr[-400:]}
     rec["variant"] = name

@@ -4,7 +4,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from cl4wsis_tpu.ops.grouping import assign_pixels, cluster_peaks, find_instance_centers
+from cl4wsis_tpu.ops.grouping import (assign_pixels, assign_pixels_scan,
+                                      cluster_peaks, find_instance_centers)
 
 torch = pytest.importorskip("torch")
 cv2 = pytest.importorskip("cv2")
@@ -29,14 +30,15 @@ def test_assign_pixels_matches_group_pixels():
     offsets = rs.randn(H, W, 2).astype(np.float32) * 3
     ctr = np.array([[5, 5], [18, 12], [10, 20]], np.int32)
 
-    got = np.asarray(assign_pixels(
-        jnp.asarray(ctr[:, 0]), jnp.asarray(ctr[:, 1]),
-        jnp.ones(3, bool), jnp.zeros(3, jnp.int32),
-        jnp.asarray(offsets), jnp.zeros((H, W), jnp.int32), chunk=4))
+    args = (jnp.asarray(ctr[:, 0]), jnp.asarray(ctr[:, 1]),
+            jnp.ones(3, bool), jnp.zeros(3, jnp.int32),
+            jnp.asarray(offsets), jnp.zeros((H, W), jnp.int32))
 
     ot = torch.from_numpy(offsets).permute(2, 0, 1)[None]
     want = _torch_group_pixels(torch.from_numpy(ctr).long(), ot).numpy()
-    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(np.asarray(assign_pixels(*args)), want)
+    np.testing.assert_array_equal(
+        np.asarray(assign_pixels_scan(*args, chunk=4)), want)
 
 
 def test_assign_pixels_root_gating():
@@ -48,10 +50,12 @@ def test_assign_pixels_root_gating():
     ctr_y = jnp.asarray([0, 0])
     ctr_x = jnp.asarray([7, 0])   # center 0 lives in right half but root 0
     roots_of_ctr = jnp.asarray([0, 1])
-    out = np.asarray(assign_pixels(ctr_y, ctr_x, jnp.ones(2, bool),
-                                   roots_of_ctr, offsets, roots, chunk=2))
-    assert (out[:, :4] == 0).all()   # left pixels -> center 0 (same root)
-    assert (out[:, 4:] == 1).all()
+    for fn in (assign_pixels,
+               lambda *a: assign_pixels_scan(*a, chunk=2)):
+        out = np.asarray(fn(ctr_y, ctr_x, jnp.ones(2, bool),
+                            roots_of_ctr, offsets, roots))
+        assert (out[:, :4] == 0).all()  # left pixels -> center 0 (same root)
+        assert (out[:, 4:] == 1).all()
 
 
 def test_find_instance_centers_threshold_and_nms():

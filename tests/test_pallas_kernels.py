@@ -1,0 +1,42 @@
+"""Pallas kernel equivalence vs XLA fallbacks (TPU-only; driven on hardware
+in CI-less environments via the verify recipe).
+
+(The nearest-center Pallas assignment kernel this file used to cover was
+DELETED in round 3: the argmin lane reduce made the pure-XLA path 156x
+faster than the old chunked scan at eval shapes — scripts/bench_assign_ab.py
+— leaving the kernel without a consumer.)"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu", reason="TPU-only kernel")
+def test_pallas_cc_matches_fallback():
+    import cl4wsis_tpu.ops.pallas_cc as pcc
+    from cl4wsis_tpu.ops.cc import connected_components
+    rs = np.random.RandomState(0)
+    m = rs.rand(128, 128) > 0.45
+    got = np.asarray(pcc.connected_components_pallas(jnp.asarray(m)))
+    want = np.asarray(connected_components(jnp.asarray(m), 8))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_assign_lanes_matches_scan_oracle():
+    """The promoted argmin lane reduce == the retained chunked-scan oracle
+    (any backend; eval-shaped slot counts)."""
+    from cl4wsis_tpu.ops.grouping import assign_pixels, assign_pixels_scan
+    rs = np.random.RandomState(1)
+    H = W = 64
+    offsets = jnp.asarray(rs.randn(H, W, 2).astype(np.float32) * 3)
+    roots = jnp.asarray(rs.randint(0, 5, (H, W)), jnp.int32)
+    S = 40
+    cy = jnp.asarray(rs.randint(0, H, S), jnp.int32)
+    cx = jnp.asarray(rs.randint(0, W, S), jnp.int32)
+    cv = jnp.asarray(rs.rand(S) > 0.3)
+    cr = jnp.asarray(rs.randint(0, 5, S), jnp.int32)
+    got = np.asarray(assign_pixels(cy, cx, cv, cr, offsets, roots))
+    want = np.asarray(assign_pixels_scan(cy, cx, cv, cr, offsets, roots))
+    np.testing.assert_array_equal(got, want)
