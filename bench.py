@@ -102,6 +102,116 @@ def bench_step0(batch_size: int = 16, size: int = 512, steps: int = 20,
             "steps": steps, "dt": dt}
 
 
+def bench_phase1(batch_size: int = 16, size: int = 512, steps: int = 20,
+                 n_batches: int = 4):
+    """Phase-1 CL-WSSS step at the VOC 15-5 recipe shape: dual backbones,
+    3B flac pseudolabeler passes, PAMR affinity, pseudo-GT losses, randrop —
+    the post-warmup (use_pseudo) program, which is the heavier one
+    (reference train.py:303-416). Completes the 3-stage throughput story
+    next to bench_step0 / bench_phase2 / bench_coco_wrn."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from cl4wsis_tpu.data.synthetic import synthetic_batches
+    from cl4wsis_tpu.models import make_model
+    from cl4wsis_tpu.train import schedule
+    from cl4wsis_tpu.train.phase1 import (make_phase1_train_step,
+                                          phase1_group_fn)
+    from cl4wsis_tpu.train.phase2 import _cost_analysis_flops
+    from cl4wsis_tpu.train.trainer import TrainState
+    from cl4wsis_tpu.wss import PeakGenerator, PseudoLabeler
+
+    OLD, NEW = 16, 5
+    TOT = OLD + NEW
+    dtype = jnp.bfloat16
+    model = make_model(classes=(OLD, NEW), crop_size=size, branch="none",
+                       dtype=dtype)
+    model_old = make_model(classes=(OLD,), crop_size=size, branch="none",
+                           dtype=dtype)
+    pl_mod = PseudoLabeler(num_classes=TOT, dtype=dtype)
+    pg_mod = PeakGenerator(num_classes=TOT - 1, old_classes=OLD - 1,
+                           dtype=dtype)
+
+    x = jnp.zeros((1, size, size, 3), dtype)
+    mv = jax.jit(lambda: model.init(jax.random.PRNGKey(0), x, train=False))()
+    ov = jax.jit(lambda: model_old.init(jax.random.PRNGKey(0), x,
+                                        train=False))()
+    fs = size // 16
+    plv = pl_mod.init(jax.random.PRNGKey(1),
+                      jnp.zeros((1, fs, fs, 2048), dtype), train=False)
+    pgv = pg_mod.init(jax.random.PRNGKey(2),
+                      jnp.zeros((1, fs, fs, TOT), dtype), train=True)
+
+    params = {"model": mv["params"], "pseudolabeler": plv["params"],
+              "peakgenerator": pgv["params"]}
+    stats = {"model": mv["batch_stats"],
+             "pseudolabeler": plv["batch_stats"], "peakgenerator": {}}
+    tx = schedule.make_optimizer(
+        params, "sgd", schedule.make_schedule("poly", 1e-3, 10000),
+        group_scale={"body": 1.0, "seg": 10.0, "instance": 0.0,
+                     "pseudo": 10.0},
+        group_fn=phase1_group_fn, momentum=0.9)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       batch_stats=stats, opt_state=tx.init(params))
+    step = make_phase1_train_step(model, model_old, pl_mod, pg_mod, tx,
+                                  old_classes=OLD, use_pseudo=True)
+
+    batches = []
+    for b in synthetic_batches(batch_size, size, n_classes=TOT - 1, seed=0,
+                               n_batches=n_batches):
+        batches.append(
+            {"image": jax.device_put(jnp.asarray(b["image"], dtype)),
+             "l1h": jax.device_put(jnp.asarray(b["l1h"][:, 1:]))})
+    rng = jax.random.PRNGKey(3)
+
+    compiled = step.lower(state, batches[0], ov, rng).compile()
+    flops = _cost_analysis_flops(compiled)
+
+    state, m = step(state, batches[0], ov, rng)
+    jax.block_until_ready(m["loss"])
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, m = step(state, batches[i % n_batches], ov,
+                        jax.random.fold_in(rng, i))
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+    out = {"img_s": batch_size * steps / dt, "tag": "phase1",
+           "desc": f"VOC-15-5 phase-1 CL-WSSS, {size}^2 bs{batch_size} bf16",
+           "flops_per_step": flops, "batch_size": batch_size,
+           "steps": steps, "dt": dt}
+    try:
+        import shutil
+        import tempfile
+
+        from cl4wsis_tpu.utils.device_time import (device_time_report,
+                                                   main_module_times)
+        tdir = tempfile.mkdtemp(prefix="bench_trace_")
+        try:
+            with jax.profiler.trace(tdir):
+                for i in range(steps):
+                    state, m = step(state, batches[i % n_batches], ov,
+                                    jax.random.fold_in(rng, 99 + i))
+                jax.block_until_ready(m["loss"])
+            rep = device_time_report(tdir)
+            per_step = main_module_times(tdir)
+        finally:
+            shutil.rmtree(tdir, ignore_errors=True)
+        if rep["device_busy_s"] > 0:
+            out["device_dt"] = rep["device_busy_s"]
+            out["device_steps"] = steps
+            if per_step:
+                out["device_step_min"] = min(per_step)
+                out["device_step_mean"] = sum(per_step) / len(per_step)
+                out["device_step_n"] = len(per_step)
+    except Exception:
+        if jax.default_backend() == "tpu":
+            raise
+    return out
+
+
 def bench_coco_wrn(batch_size: int = 16, size: int = 448, steps: int = 10,
                    n_batches: int = 2):
     """COCO-to-VOC flagship memory-story bench (VERDICT r2 item 5): a FULL
@@ -287,6 +397,8 @@ def main():
     which = os.environ.get("CL4WSIS_BENCH", "phase2")
     if which == "step0":
         r = bench_step0()
+    elif which == "phase1":
+        r = bench_phase1()
     elif which == "coco_wrn":
         r = bench_coco_wrn()
     elif which == "host":
