@@ -58,14 +58,16 @@ def instance_stats(inst_mask: jnp.ndarray, seg_map: jnp.ndarray, max_inst: int):
     return count, cy, cx, jnp.maximum(cls, 0)
 
 
-def stamp_centers(valid: jnp.ndarray, cy: jnp.ndarray, cx: jnp.ndarray,
-                  cls: jnp.ndarray, num_classes: int, sigma: int,
-                  shape: Tuple[int, int]) -> jnp.ndarray:
-    """Max-compose gaussians at integer-floored (cy, cx) into class channels.
+def stamp_centers_scan(valid: jnp.ndarray, cy: jnp.ndarray, cx: jnp.ndarray,
+                       cls: jnp.ndarray, num_classes: int, sigma: int,
+                       shape: Tuple[int, int]) -> jnp.ndarray:
+    """Full-plane scan oracle for :func:`stamp_centers`.
 
-    valid/cy/cx/cls are (K,) slot arrays. Returns (H, W, num_classes).
-    Matches reference ``center_map_gen`` (``dataset/utils.py:215-252``):
-    value exp(-(d^2)/(2 sigma^2)) inside the |dx|,|dy| <= 3*sigma+1 box.
+    Per slot, computes the gaussian over the WHOLE plane and max-composes it
+    into the slot's class channel — a read-modify-write of one (H, W)
+    channel per slot, i.e. K sequential full-plane HBM passes. Kept as the
+    independent test oracle; :func:`stamp_centers` is the windowed
+    production path.
     """
     H, W = shape
     ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
@@ -84,6 +86,51 @@ def stamp_centers(valid: jnp.ndarray, cy: jnp.ndarray, cx: jnp.ndarray,
     center, _ = jax.lax.scan(body, jnp.zeros((num_classes, H, W), jnp.float32),
                              jnp.arange(valid.shape[0]))
     return jnp.transpose(center, (1, 2, 0))
+
+
+def stamp_centers(valid: jnp.ndarray, cy: jnp.ndarray, cx: jnp.ndarray,
+                  cls: jnp.ndarray, num_classes: int, sigma: int,
+                  shape: Tuple[int, int]) -> jnp.ndarray:
+    """Max-compose gaussians at integer-floored (cy, cx) into class channels.
+
+    valid/cy/cx/cls are (K,) slot arrays. Returns (H, W, num_classes).
+    Matches reference ``center_map_gen`` (``dataset/utils.py:215-252``):
+    value exp(-(d^2)/(2 sigma^2)) inside the |dx|,|dy| <= 3*sigma+1 box.
+
+    Windowed implementation: since centers are integer-floored, every stamp
+    is the SAME constant (2r+1)^2 gaussian template (r = 3*sigma+1), so each
+    scan step read-modify-writes only that window of an r-padded plane via
+    dynamic slice/update instead of a full (H, W) channel — ~1-2% of the
+    oracle's HBM traffic at 512^2. Bit-equal to :func:`stamp_centers_scan`
+    under jit (tests/test_labelgen.py). Precondition (all call sites):
+    floor(cy) in [0, H) and floor(cx) in [0, W) — centers are pixel
+    coordinates / centroids of on-plane masks.
+    """
+    H, W = shape
+    r = 3 * sigma + 1
+    win = 2 * r + 1
+    iy = jnp.clip(jnp.floor(cy), 0, H - 1).astype(jnp.int32)
+    ix = jnp.clip(jnp.floor(cx), 0, W - 1).astype(jnp.int32)
+    # Constant template over integer offsets [-r, r]^2, with a dummy data
+    # dependency so it is evaluated by the DEVICE exp — constant folding
+    # uses a different exp implementation and costs 1 ulp vs the oracle.
+    dy = jax.lax.broadcasted_iota(jnp.float32, (win, win), 0) - r
+    dx = jax.lax.broadcasted_iota(jnp.float32, (win, win), 1) - r
+    zero = jnp.minimum(jnp.float32(0), iy[0].astype(jnp.float32) * 0)
+    tmpl = jnp.exp(-(dx ** 2 + dy ** 2) / (2.0 * sigma ** 2) + zero)
+
+    padded = jnp.zeros((num_classes, H + 2 * r, W + 2 * r), jnp.float32)
+
+    def body(p, k):
+        c = jnp.clip(cls[k], 0, num_classes - 1)
+        # template center lands at padded (iy+r, ix+r) == image (iy, ix)
+        sl = jax.lax.dynamic_slice(p, (c, iy[k], ix[k]), (1, win, win))
+        p = jax.lax.dynamic_update_slice(
+            p, jnp.maximum(sl, (tmpl * valid[k])[None]), (c, iy[k], ix[k]))
+        return p, None
+
+    padded, _ = jax.lax.scan(body, padded, jnp.arange(valid.shape[0]))
+    return jnp.transpose(padded[:, r:r + H, r:r + W], (1, 2, 0))
 
 
 @partial(jax.jit, static_argnames=("num_classes", "max_inst", "sigma"))

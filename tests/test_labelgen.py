@@ -85,3 +85,54 @@ def test_batched():
                                        max_inst=8)
     assert c.shape == (2, 48, 48, 3)
     np.testing.assert_allclose(np.asarray(c[0]), np.asarray(c[1]))
+
+
+def test_windowed_stamp_matches_scan_oracle():
+    """stamp_centers (windowed DUS) is bit-equal to the full-plane scan
+    oracle under jit, incl. corner centers, invalid slots, mixed classes."""
+    import jax
+    from functools import partial
+
+    from cl4wsis_tpu.ops.labelgen import stamp_centers, stamp_centers_scan
+
+    H = W = 64
+    C, K = 5, 12
+    for sigma in (4, 6, 8):
+        f_win = jax.jit(partial(stamp_centers, num_classes=C, sigma=sigma,
+                                shape=(H, W)))
+        f_scan = jax.jit(partial(stamp_centers_scan, num_classes=C,
+                                 sigma=sigma, shape=(H, W)))
+        rng = np.random.RandomState(sigma)
+        cy = rng.uniform(0, H - 1, K).astype(np.float32)
+        cx = rng.uniform(0, W - 1, K).astype(np.float32)
+        # force corner/edge centers into the slot set
+        cy[:4] = [0.0, H - 1, 0.0, H - 1]
+        cx[:4] = [0.0, 0.0, W - 1, W - 1]
+        cls = rng.randint(0, C, K).astype(np.int32)
+        valid = rng.rand(K) > 0.3
+        a = np.asarray(f_win(jnp.asarray(valid), jnp.asarray(cy),
+                             jnp.asarray(cx), jnp.asarray(cls)))
+        b = np.asarray(f_scan(jnp.asarray(valid), jnp.asarray(cy),
+                              jnp.asarray(cx), jnp.asarray(cls)))
+        assert np.array_equal(a, b), (sigma, np.abs(a - b).max())
+        # all-invalid stamps nothing
+        z = np.asarray(f_win(jnp.zeros(K, bool), jnp.asarray(cy),
+                             jnp.asarray(cx), jnp.asarray(cls)))
+        assert not z.any()
+
+    # vmapped (the phase-2 factory path): batch of slot sets
+    f_v = jax.jit(jax.vmap(partial(stamp_centers, num_classes=C, sigma=6,
+                                   shape=(H, W))))
+    f_vs = jax.jit(jax.vmap(partial(stamp_centers_scan, num_classes=C,
+                                    sigma=6, shape=(H, W))))
+    rng = np.random.RandomState(0)
+    B = 3
+    cy = rng.uniform(0, H - 1, (B, K)).astype(np.float32)
+    cx = rng.uniform(0, W - 1, (B, K)).astype(np.float32)
+    cls = rng.randint(0, C, (B, K)).astype(np.int32)
+    valid = rng.rand(B, K) > 0.3
+    a = np.asarray(f_v(jnp.asarray(valid), jnp.asarray(cy), jnp.asarray(cx),
+                       jnp.asarray(cls)))
+    b = np.asarray(f_vs(jnp.asarray(valid), jnp.asarray(cy), jnp.asarray(cx),
+                        jnp.asarray(cls)))
+    assert np.array_equal(a, b), np.abs(a - b).max()
