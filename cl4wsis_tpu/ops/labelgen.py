@@ -74,6 +74,8 @@ def stamp_centers_scan(valid: jnp.ndarray, cy: jnp.ndarray, cx: jnp.ndarray,
     xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
     iy = jnp.floor(cy).astype(jnp.int32).astype(jnp.float32)
     ix = jnp.floor(cx).astype(jnp.int32).astype(jnp.float32)
+    # reference center_map_gen skips centers outside the plane entirely
+    valid = valid & (iy >= 0) & (iy < H) & (ix >= 0) & (ix < W)
     radius = 3 * sigma + 1
 
     def body(center, k):
@@ -102,21 +104,27 @@ def stamp_centers(valid: jnp.ndarray, cy: jnp.ndarray, cx: jnp.ndarray,
     scan step read-modify-writes only that window of an r-padded plane via
     dynamic slice/update instead of a full (H, W) channel — ~1-2% of the
     oracle's HBM traffic at 512^2. Bit-equal to :func:`stamp_centers_scan`
-    under jit (tests/test_labelgen.py). Precondition (all call sites):
-    floor(cy) in [0, H) and floor(cx) in [0, W) — centers are pixel
-    coordinates / centroids of on-plane masks.
+    under jit (tests/test_labelgen.py). Off-plane centers (floor(cy) outside
+    [0, H) or floor(cx) outside [0, W)) stamp nothing, matching the
+    reference's skip of out-of-boundary centers.
     """
     H, W = shape
     r = 3 * sigma + 1
     win = 2 * r + 1
-    iy = jnp.clip(jnp.floor(cy), 0, H - 1).astype(jnp.int32)
-    ix = jnp.clip(jnp.floor(cx), 0, W - 1).astype(jnp.int32)
+    fy = jnp.floor(cy)
+    fx = jnp.floor(cx)
+    # Reference center_map_gen skips centers outside the plane entirely;
+    # fold that into the per-slot validity so a clamped slice never stamps
+    # a spurious border template.
+    valid = valid & (fy >= 0) & (fy < H) & (fx >= 0) & (fx < W)
+    iy = jnp.clip(fy, 0, H - 1).astype(jnp.int32)
+    ix = jnp.clip(fx, 0, W - 1).astype(jnp.int32)
     # Constant template over integer offsets [-r, r]^2, with a dummy data
     # dependency so it is evaluated by the DEVICE exp — constant folding
     # uses a different exp implementation and costs 1 ulp vs the oracle.
     dy = jax.lax.broadcasted_iota(jnp.float32, (win, win), 0) - r
     dx = jax.lax.broadcasted_iota(jnp.float32, (win, win), 1) - r
-    zero = jnp.minimum(jnp.float32(0), iy[0].astype(jnp.float32) * 0)
+    zero = jnp.minimum(jnp.float32(0), jnp.sum(iy).astype(jnp.float32) * 0)
     tmpl = jnp.exp(-(dx ** 2 + dy ** 2) / (2.0 * sigma ** 2) + zero)
 
     padded = jnp.zeros((num_classes, H + 2 * r, W + 2 * r), jnp.float32)

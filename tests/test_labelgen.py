@@ -119,6 +119,21 @@ def test_windowed_stamp_matches_scan_oracle():
         z = np.asarray(f_win(jnp.zeros(K, bool), jnp.asarray(cy),
                              jnp.asarray(cx), jnp.asarray(cls)))
         assert not z.any()
+        # off-plane centers stamp nothing (reference center_map_gen skips
+        # out-of-boundary centers entirely) — both paths, still bit-equal
+        cy2 = cy.copy()
+        cx2 = cx.copy()
+        cy2[:4] = [-1.0, H + 0.5, 10.0, -0.001]
+        cx2[:4] = [10.0, 10.0, W + 3.0, 10.0]
+        a2 = np.asarray(f_win(jnp.asarray(valid), jnp.asarray(cy2),
+                              jnp.asarray(cx2), jnp.asarray(cls)))
+        b2 = np.asarray(f_scan(jnp.asarray(valid), jnp.asarray(cy2),
+                               jnp.asarray(cx2), jnp.asarray(cls)))
+        assert np.array_equal(a2, b2), (sigma, np.abs(a2 - b2).max())
+        only_off = np.asarray(f_win(
+            jnp.asarray(np.arange(K) < 4), jnp.asarray(cy2),
+            jnp.asarray(cx2), jnp.asarray(cls)))
+        assert not only_off.any()
 
     # vmapped (the phase-2 factory path): batch of slot sets
     f_v = jax.jit(jax.vmap(partial(stamp_centers, num_classes=C, sigma=6,
