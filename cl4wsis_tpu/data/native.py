@@ -1,29 +1,56 @@
 """ctypes bindings for the C++ mask ops (csrc/maskops.cpp).
 
-Build with `make -C csrc`. All entry points degrade gracefully: callers use
-`available()` or the wrapped functions raise ImportError and the pure-python
-paths in data/maskrle.py and metrics/voc_ap.py take over.
+The library is built on demand: `_load()` runs `make -C csrc` the first time
+the .so is missing or older than its source (disable with
+CL4WSIS_NO_NATIVE_BUILD=1 — e.g. no compiler on the host). All entry points
+degrade gracefully: callers use `available()` or the wrapped functions raise
+ImportError and the pure-python paths in data/maskrle.py and
+metrics/voc_ap.py take over.
 """
 
 from __future__ import annotations
 
 import ctypes
 import os
+import subprocess
 from typing import List, Tuple
 
 import numpy as np
 
 _LIB = None
+_BUILD_TRIED = False
+_CSRC = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "..", "csrc"))
 _SEARCH = [
-    os.path.join(os.path.dirname(__file__), "..", "..", "csrc", "libmaskops.so"),
+    os.path.join(_CSRC, "libmaskops.so"),
     os.path.join(os.path.dirname(__file__), "libmaskops.so"),
 ]
+
+
+def _try_build() -> None:
+    """Build libmaskops.so from source if absent/stale (once per process)."""
+    global _BUILD_TRIED
+    if _BUILD_TRIED or os.environ.get("CL4WSIS_NO_NATIVE_BUILD") == "1":
+        return
+    _BUILD_TRIED = True
+    src = os.path.join(_CSRC, "maskops.cpp")
+    so = os.path.join(_CSRC, "libmaskops.so")
+    if not os.path.exists(src):
+        return
+    if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
+        return
+    try:
+        subprocess.run(["make", "-C", _CSRC], capture_output=True,
+                       timeout=120, check=False)
+    except (OSError, subprocess.TimeoutExpired):
+        pass  # no make/compiler: the pure-python fallbacks take over
 
 
 def _load():
     global _LIB
     if _LIB is not None:
         return _LIB
+    _try_build()
     for p in _SEARCH:
         p = os.path.abspath(p)
         if os.path.exists(p):
