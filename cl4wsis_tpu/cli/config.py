@@ -56,6 +56,11 @@ class Config:
     dce: bool = False
     seed: int = 42
     dtype: str = "bfloat16"
+    # Re-sample fresh weights in torch's init families (kaiming-uniform
+    # convs+biases etc., models/torch_init.py) so fixture-parity runs match
+    # the reference's init scale. Rebuild-only flag (no reference analogue);
+    # pretrained body weights are never touched.
+    torch_init: bool = False
 
     # CL / weakly
     weakly: bool = False

@@ -86,6 +86,7 @@ class Trainer:
         self.variables = jax.jit(
             lambda: self.model.init(jax.random.PRNGKey(cfg.seed), x,
                                     train=False))()
+        pretrained_body = False
         if cfg.pretrained and not cfg.synthetic:
             name = ("wide_resnet38_ipabn_lr_256.pth.tar"
                     if "wide" in cfg.backbone
@@ -93,6 +94,7 @@ class Trainer:
             pre = load_torch_pretrained(
                 os.path.join(cfg.pretrained_path, name), cfg.backbone)
             if pre is not None:
+                pretrained_body = True
                 self.variables = {
                     "params": tree_merge(self.variables["params"],
                                          {"body": pre["params"]}),
@@ -114,6 +116,27 @@ class Trainer:
             cam = jnp.zeros((1, fs, fs, self.tot_classes), self.dtype)
             pgv = self.peakgenerator.init(jax.random.PRNGKey(2), cam, train=True)
             self.aux_vars = {"pseudolabeler": plv, "peakgenerator": pgv}
+
+        if cfg.torch_init:
+            # re-sample every FRESH kernel/bias in torch's init families so
+            # fixture runs start at the reference's loss scale (the top-
+            # level names here drive torch_init's per-module path rules)
+            from cl4wsis_tpu.models.torch_init import (DEFAULT_SKIP,
+                                                       torch_family_init)
+            tree = {"model": self.variables["params"]}
+            if self.aux_vars:
+                tree["pseudolabeler"] = self.aux_vars["pseudolabeler"]["params"]
+                tree["peakgenerator"] = self.aux_vars["peakgenerator"]["params"]
+            skip = DEFAULT_SKIP + (("body",) if pretrained_body else ())
+            tree = torch_family_init(tree, jax.random.PRNGKey(cfg.seed + 77),
+                                     skip_paths=skip)
+            self.variables = dict(self.variables, params=tree["model"])
+            if self.aux_vars:
+                self.aux_vars = {
+                    "pseudolabeler": dict(self.aux_vars["pseudolabeler"],
+                                          params=tree["pseudolabeler"]),
+                    "peakgenerator": dict(self.aux_vars["peakgenerator"],
+                                          params=tree["peakgenerator"])}
 
     def _build_optimizer(self):
         cfg = self.cfg
