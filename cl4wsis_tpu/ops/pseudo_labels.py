@@ -136,37 +136,22 @@ def class_components(seg_map: jnp.ndarray, cls_label: jnp.ndarray,
                       accept_e, packed_px.reshape(H, W))
 
 
-@partial(jax.jit, static_argnames=("num_classes", "sigma", "max_comp",
-                                   "cc_iters", "first_class"))
-def pseudo_label_generation(seg_map: jnp.ndarray,
-                            peak_ys: jnp.ndarray, peak_xs: jnp.ndarray,
-                            peak_valid: jnp.ndarray,
-                            cls_label: jnp.ndarray,
-                            num_classes: int, sigma: int = 6,
-                            max_comp: int = 64, cc_iters: int = 64,
-                            first_class: int = 0,
-                            components=None
-                            ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """One sample.
+def pseudo_label_slots(seg_map: jnp.ndarray,
+                       peak_ys: jnp.ndarray, peak_xs: jnp.ndarray,
+                       peak_valid: jnp.ndarray,
+                       cls_label: jnp.ndarray,
+                       num_classes: int, sigma: int = 6,
+                       max_comp: int = 64, cc_iters: int = 64,
+                       first_class: int = 0,
+                       components=None):
+    """Everything of :func:`pseudo_label_generation` EXCEPT the gaussian
+    stamp: returns (stamp_slots, offset, weight, n_match, truncated) where
+    stamp_slots = (valid, cy, cx, cls) slot arrays of length `max_comp`.
 
-    Args:
-      seg_map: (H, W) int32 argmax seg with old classes zeroed (0 = bg).
-      peak_ys/peak_xs: (C, K) int32 CAM peak coordinates per thing class.
-      peak_valid: (C, K) bool — peak confidence >= pseudo_thresh.
-      cls_label: (C,) float/bool — image-level labels for NEW thing classes
-        (old entries zeroed by the caller, ``train.py:448-449``).
-      num_classes: number of thing classes C (= tot_classes - 1).
-      first_class: ignore classes below this index entirely (phase 2 only
-        generates labels for NEW classes — old entries of cls_label are 0,
-        so ignoring them is exact).
-      components: optional precomputed ``class_components(...)`` result —
-        the train step shares one CC pass between this and the refinement.
-
-    Returns:
-      center (H, W, C), offset (H, W, 2), weight (H, W, 1), total_match (),
-      truncated () — accepted components beyond the `max_comp` stamping
-      slots PER IMAGE (offset/weight maps are exact regardless; only the
-      gaussian stamp is slot-capped — reference is unbounded).
+    Callers that batch (the phase-2 train step) stamp all images at once
+    with ops/pallas_stamp.stamp_centers_batched — under vmap the per-image
+    stamp scan's dynamic window updates cannot batch and lower to
+    while-loops over the batch (~65 ms/step on the round-4 trace).
     """
     H, W = seg_map.shape
     HW = H * W
@@ -204,8 +189,48 @@ def pseudo_label_generation(seg_map: jnp.ndarray,
     sel_root = comp.skey[posc]
     sel_cls = eff.reshape(-1)[jnp.where(valid, sel_root, 0)] - 1
     sel_cls = jnp.clip(sel_cls, 0, num_classes - 1)
-    center = stamp_centers(valid, comp.cy_e[posc], comp.cx_e[posc], sel_cls,
-                           num_classes, sigma, (H, W))
     n_match = jnp.sum(flags_sel.astype(jnp.int32))
     truncated = jnp.maximum(n_match - max_comp, 0)
+    slots = (valid, comp.cy_e[posc], comp.cx_e[posc], sel_cls)
+    return slots, offset, weight_map, n_match, truncated
+
+
+@partial(jax.jit, static_argnames=("num_classes", "sigma", "max_comp",
+                                   "cc_iters", "first_class"))
+def pseudo_label_generation(seg_map: jnp.ndarray,
+                            peak_ys: jnp.ndarray, peak_xs: jnp.ndarray,
+                            peak_valid: jnp.ndarray,
+                            cls_label: jnp.ndarray,
+                            num_classes: int, sigma: int = 6,
+                            max_comp: int = 64, cc_iters: int = 64,
+                            first_class: int = 0,
+                            components=None
+                            ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One sample.
+
+    Args:
+      seg_map: (H, W) int32 argmax seg with old classes zeroed (0 = bg).
+      peak_ys/peak_xs: (C, K) int32 CAM peak coordinates per thing class.
+      peak_valid: (C, K) bool — peak confidence >= pseudo_thresh.
+      cls_label: (C,) float/bool — image-level labels for NEW thing classes
+        (old entries zeroed by the caller, ``train.py:448-449``).
+      num_classes: number of thing classes C (= tot_classes - 1).
+      first_class: ignore classes below this index entirely (phase 2 only
+        generates labels for NEW classes — old entries of cls_label are 0,
+        so ignoring them is exact).
+      components: optional precomputed ``class_components(...)`` result —
+        the train step shares one CC pass between this and the refinement.
+
+    Returns:
+      center (H, W, C), offset (H, W, 2), weight (H, W, 1), total_match (),
+      truncated () — accepted components beyond the `max_comp` stamping
+      slots PER IMAGE (offset/weight maps are exact regardless; only the
+      gaussian stamp is slot-capped — reference is unbounded).
+    """
+    (valid, cy, cx, cls), offset, weight_map, n_match, truncated = \
+        pseudo_label_slots(seg_map, peak_ys, peak_xs, peak_valid, cls_label,
+                           num_classes, sigma, max_comp, cc_iters,
+                           first_class, components)
+    center = stamp_centers(valid, cy, cx, cls, num_classes, sigma,
+                           seg_map.shape)
     return center, offset, weight_map, n_match, truncated

@@ -212,31 +212,21 @@ def _slot_stats(slots, assign, eff, ch_spiked, seg_probs_things, n_slots,
     return npix, seg_score, vmax, py, px
 
 
-@partial(jax.jit, static_argnames=(
-    "num_classes", "sigma", "refine_thresh", "nms_kernel", "beta",
-    "max_ctr", "max_cluster", "cc_iters", "first_class"))
-def refine_label_generation(seg_probs: jnp.ndarray, center_map: jnp.ndarray,
-                            offset_map: jnp.ndarray, label: jnp.ndarray,
-                            gt_seg: jnp.ndarray, *, num_classes: int,
-                            sigma: int = 6, refine_thresh: float = 0.3,
-                            nms_kernel: int = 41, beta: float = 3.0,
-                            max_ctr: int = 16, max_cluster: int = 8,
-                            cc_iters: int = 64,
-                            first_class: int = 0,
-                            components=None) -> Dict[str, jnp.ndarray]:
-    """One sample.
-
-    Args:
-      seg_probs: (H, W, C+1) softmax of the (TTA) seg output, channels 1..C
-        already masked by the image-level label.
-      center_map: (H, W, C) predicted center heatmap (image resolution).
-      offset_map: (H, W, 2) predicted offsets (y, x).
-      label: (C,) one-hot image-level label for NEW classes only.
-      gt_seg: (H, W) int argmax seg with old classes zeroed.
-
-    Returns dict(center (H,W,C), offset (H,W,2), weight (H,W,1),
-    truncated () — NMS candidates beyond the per-class slot cap).
-    """
+def refine_label_slots(seg_probs: jnp.ndarray, center_map: jnp.ndarray,
+                       offset_map: jnp.ndarray, label: jnp.ndarray,
+                       gt_seg: jnp.ndarray, *, num_classes: int,
+                       sigma: int = 6, refine_thresh: float = 0.3,
+                       nms_kernel: int = 41, beta: float = 3.0,
+                       max_ctr: int = 16, max_cluster: int = 8,
+                       cc_iters: int = 64,
+                       first_class: int = 0,
+                       components=None) -> Dict[str, jnp.ndarray]:
+    """Everything of :func:`refine_label_generation` EXCEPT the gaussian
+    stamp: the returned dict carries (stamp_valid, stamp_y, stamp_x,
+    stamp_cls) slot arrays instead of "center" — batching callers stamp all
+    images at once with ops/pallas_stamp.stamp_centers_batched (the vmapped
+    per-image stamp scan lowers to batch while-loops, ~65 ms/step on the
+    round-4 trace)."""
     H, W = gt_seg.shape
     HW = H * W
     C = num_classes
@@ -310,7 +300,43 @@ def refine_label_generation(seg_probs: jnp.ndarray, center_map: jnp.ndarray,
                         ((rem % W).astype(jnp.float32) - xs) * live_px],
                        axis=-1)
 
-    center = stamp_centers(slot_ok, out_y, out_x, slots["cls"], C, sigma,
-                           (H, W))
-    return {"center": center, "offset": offset, "weight": weight,
+    return {"stamp_valid": slot_ok, "stamp_y": out_y, "stamp_x": out_x,
+            "stamp_cls": slots["cls"], "offset": offset, "weight": weight,
             "truncated": truncated}
+
+
+@partial(jax.jit, static_argnames=(
+    "num_classes", "sigma", "refine_thresh", "nms_kernel", "beta",
+    "max_ctr", "max_cluster", "cc_iters", "first_class"))
+def refine_label_generation(seg_probs: jnp.ndarray, center_map: jnp.ndarray,
+                            offset_map: jnp.ndarray, label: jnp.ndarray,
+                            gt_seg: jnp.ndarray, *, num_classes: int,
+                            sigma: int = 6, refine_thresh: float = 0.3,
+                            nms_kernel: int = 41, beta: float = 3.0,
+                            max_ctr: int = 16, max_cluster: int = 8,
+                            cc_iters: int = 64,
+                            first_class: int = 0,
+                            components=None) -> Dict[str, jnp.ndarray]:
+    """One sample.
+
+    Args:
+      seg_probs: (H, W, C+1) softmax of the (TTA) seg output, channels 1..C
+        already masked by the image-level label.
+      center_map: (H, W, C) predicted center heatmap (image resolution).
+      offset_map: (H, W, 2) predicted offsets (y, x).
+      label: (C,) one-hot image-level label for NEW classes only.
+      gt_seg: (H, W) int argmax seg with old classes zeroed.
+
+    Returns dict(center (H,W,C), offset (H,W,2), weight (H,W,1),
+    truncated () — NMS candidates beyond the per-class slot cap).
+    """
+    out = refine_label_slots(
+        seg_probs, center_map, offset_map, label, gt_seg,
+        num_classes=num_classes, sigma=sigma, refine_thresh=refine_thresh,
+        nms_kernel=nms_kernel, beta=beta, max_ctr=max_ctr,
+        max_cluster=max_cluster, cc_iters=cc_iters, first_class=first_class,
+        components=components)
+    center = stamp_centers(out.pop("stamp_valid"), out.pop("stamp_y"),
+                           out.pop("stamp_x"), out.pop("stamp_cls"),
+                           num_classes, sigma, gt_seg.shape)
+    return dict(out, center=center)

@@ -71,12 +71,16 @@ def make_phase2_train_step(model, model_old, pseudolabeler, peakgenerator,
     n_things = tot_classes - 1
     old_things = old_classes - 1
 
-    from cl4wsis_tpu.ops.pseudo_labels import class_components
+    from cl4wsis_tpu.ops.pallas_stamp import stamp_centers_batched
+    from cl4wsis_tpu.ops.pseudo_labels import (class_components,
+                                               pseudo_label_slots)
+    from cl4wsis_tpu.ops.refine import refine_label_slots
 
     def label_factory(seg_gt, cls_label, peak_ys, peak_xs, peak_valid,
                       soft, center_sg, offset_sg):
         """Per-image label factory (class CC + pseudo labels + refinement).
         Everything is independent per batch element — safe to shard_map."""
+        size = seg_gt.shape[1:3]
         # the class-CC fixpoint pass + stats are computed ONCE and shared
         # between the pseudo-label and refinement ops (identical (seg,
         # label) input — each pass was a top-3 cost of the whole step in
@@ -88,24 +92,35 @@ def make_phase2_train_step(model, model_old, pseudolabeler, peakgenerator,
                 s, cl, num_classes=n_things, first_class=old_things,
                 cc_iters=cc_iters, peak_ys=py, peak_xs=px, peak_valid=pv))(
             seg_gt, cls_label, peak_ys, peak_xs, peak_valid)
-        pl_fn = partial(pseudo_label_generation, num_classes=n_things,
+        pl_fn = partial(pseudo_label_slots, num_classes=n_things,
                         sigma=sigma, max_comp=max_comp, cc_iters=cc_iters,
                         first_class=old_things)
-        pc, po, pw, _, p_trunc = jax.vmap(
+        p_slots, po, pw, _, p_trunc = jax.vmap(
             lambda s, py, px, pv, cl, comp: pl_fn(s, py, px, pv, cl,
                                                   components=comp))(
             seg_gt, peak_ys, peak_xs, peak_valid, cls_label, comps)
+        # the gaussian stamp runs BATCHED outside the vmap: a vmapped
+        # dynamic-window stamp cannot batch and lowers to while-loops over
+        # the batch (~65 ms/step on the round-4 trace); the batched kernel
+        # (Pallas on TPU) composes every image/slot in one pass
+        pc = stamp_centers_batched(*p_slots, num_classes=n_things,
+                                   sigma=sigma, shape=size)
         out = {"pc": pc, "po": po, "pw": pw, "p_trunc": p_trunc}
         if run_refine:
-            rf_fn = partial(refine_label_generation, num_classes=n_things,
+            rf_fn = partial(refine_label_slots, num_classes=n_things,
                             sigma=sigma, refine_thresh=refine_thresh,
                             nms_kernel=nms_kernel, beta=beta, max_ctr=max_ctr,
                             max_cluster=max_cluster, cc_iters=cc_iters,
                             first_class=old_things)
-            out["refined"] = jax.vmap(
+            refined = jax.vmap(
                 lambda sp, c, o, cl, s, comp: rf_fn(sp, c, o, cl, s,
                                                     components=comp))(
                 soft, center_sg, offset_sg, cls_label, seg_gt, comps)
+            refined["center"] = stamp_centers_batched(
+                refined.pop("stamp_valid"), refined.pop("stamp_y"),
+                refined.pop("stamp_x"), refined.pop("stamp_cls"),
+                num_classes=n_things, sigma=sigma, shape=size)
+            out["refined"] = refined
         return out
 
     if mesh is not None and mesh.size > 1:
@@ -274,6 +289,7 @@ def bench_phase2(batch_size: int = 16, size: int = 512, steps: int = 20,
     Returns a dict: {img_s, tag, flops_per_step, batch_size, steps, dt}.
     """
     import os
+    import sys
     import time
 
     from cl4wsis_tpu.data.synthetic import synthetic_batches
@@ -281,6 +297,15 @@ def bench_phase2(batch_size: int = 16, size: int = 512, steps: int = 20,
     from cl4wsis_tpu.train import schedule
     from cl4wsis_tpu.wss import PeakGenerator, PseudoLabeler
 
+    t_start = time.time()
+
+    def beat(msg):
+        # tunnel compiles fluctuate 20s-10min+ (CLAUDE.md); stderr heartbeats
+        # make a wedged run diagnosable without killing it
+        print(f"bench_phase2 [{time.time() - t_start:.0f}s] {msg}",
+              file=sys.stderr, flush=True)
+
+    steps = int(os.environ.get("CL4WSIS_BENCH_STEPS", steps))
     OLD, NEW = 16, 5
     TOT = OLD + NEW
     dtype = jnp.bfloat16
@@ -292,6 +317,7 @@ def bench_phase2(batch_size: int = 16, size: int = 512, steps: int = 20,
     pg_mod = PeakGenerator(num_classes=TOT - 1, old_classes=OLD - 1, dtype=dtype)
 
     x = jnp.zeros((1, size, size, 3), dtype)
+    beat("initializing models")
     mv = jax.jit(lambda: model.init(jax.random.PRNGKey(0), x, train=False))()
     ov = jax.jit(lambda: model_old.init(jax.random.PRNGKey(0), x, train=False))()
     fs = size // 16
@@ -321,12 +347,15 @@ def bench_phase2(batch_size: int = 16, size: int = 512, steps: int = 20,
     rng = jax.random.PRNGKey(3)
 
     # compile once explicitly so we can pull XLA's own FLOP estimate
+    beat("compiling train step")
     lowered = step.lower(state, batches[0], ov, aux_vars, rng)
     compiled = lowered.compile()
     flops = _cost_analysis_flops(compiled)
 
+    beat("warmup step")
     state, m = step(state, batches[0], ov, aux_vars, rng)
     jax.block_until_ready(m["loss"])
+    beat("timed loop")
 
     import contextlib
     profile_dir = os.environ.get("CL4WSIS_BENCH_PROFILE", "")
@@ -357,6 +386,7 @@ def bench_phase2(batch_size: int = 16, size: int = 512, steps: int = 20,
             from cl4wsis_tpu.utils.device_time import (device_time_report,
                                                        main_module_times)
             dev_steps = int(os.environ.get("CL4WSIS_BENCH_DEVICE_STEPS", "20"))
+            beat(f"device-time loop ({dev_steps} profiled steps)")
             tdir = tempfile.mkdtemp(prefix="bench_trace_")
             try:
                 with jax.profiler.trace(tdir):

@@ -31,13 +31,15 @@ def _stage_args(stage, a, root):
         "--dataset", "voc", "--task", "15-5", "--overlap", "true",
         "--batch_size", str(a.batch), "--crop_size", str(a.size),
         "--crop_size_val", str(a.size), "--val_interval", "100",
-        "--random_seed", "42", "--no_pretrained", "true",
+        "--random_seed", str(a.seed), "--no_pretrained", "true",
         "--data_root", os.path.join(root, "data"),
         "--checkpoint", os.path.join(root, "rebuild_ckpt"),
         "--logdir", os.path.join(root, "rebuild_logs"),
         "--dtype", "float32", "--sample_num", "0",
         "--epochs", str(a.epochs),
     ]
+    if a.torch_init:
+        common += ["--torch_init", "true"]
     if stage == "step0":
         return common + ["--step", "0", "--name", "RB", "--bce", "true",
                          "--optim", "adam", "--lr", "5e-5",
@@ -86,6 +88,9 @@ def main():
     ap.add_argument("--epochs", type=int, default=2)
     ap.add_argument("--size", type=int, default=64)
     ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--torch_init", action="store_true",
+                    help="torch-family init (matches the reference scale)")
     ap.add_argument("--platform", default=None,
                     help="cpu to force XLA:CPU; default = session platform")
     a = ap.parse_args()

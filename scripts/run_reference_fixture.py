@@ -198,7 +198,7 @@ def _stage_args(stage, a):
     task = f"--dataset voc --task 15-5 --num_workers 0 --no_pretrained " \
            f"--batch_size {a.batch} --crop_size {a.size} " \
            f"--crop_size_val {a.size} --overlap --val_interval 100 " \
-           f"--random_seed 42 --logdir {a.root}/logs --sample_num 0"
+           f"--random_seed {a.seed} --logdir {a.root}/logs --sample_num 0"
     if stage == "step0":
         return (f"--name REF --step 0 --bce --lr 5e-5 {task} "
                 f"--epochs {a.epochs} --optim adam --weight_decay 0").split()
@@ -224,6 +224,9 @@ def main():
     ap.add_argument("--size", type=int, default=64)
     ap.add_argument("--images", type=int, default=16)
     ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--wrap", action="store_true",
+                    help="on-image object positions for large fixtures")
     a = ap.parse_args()
 
     os.makedirs(a.root, exist_ok=True)
@@ -231,7 +234,8 @@ def main():
     if not os.path.exists(os.path.join(fixture, "voc",
                                        "pascal_sbd_train.json")):
         from tests.test_data import _write_fake_voc
-        _write_fake_voc(fixture, n_images=a.images, size=a.size, rich=True)
+        _write_fake_voc(fixture, n_images=a.images, size=a.size, rich=True,
+                        wrap=a.wrap)
         print(f"fixture: wrote mini-VOC ({a.images} imgs @ {a.size}^2) "
               f"to {fixture}", flush=True)
 

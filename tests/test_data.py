@@ -58,13 +58,16 @@ def test_polygon_fill():
     assert 64 <= m.sum() <= 100  # ~9x9 square
 
 
-def _write_fake_voc(root, n_images=6, size=48, rich=False):
+def _write_fake_voc(root, n_images=6, size=48, rich=False, wrap=False):
     """Tiny VOC/SBD fixture: images + COCO-style polygon annotations for
     classes 1 (old) and 16 (new in 15-5). With ``rich=True`` every image
     carries one of new classes 16..20 AND one of old classes 1..15, both
     round-robin, so all 20 classes appear — the reference's instance-AP
     table assumes full class coverage (train.py:639 assigns a width-20
-    row; chainercv-style AP arrays are sized by the max class seen)."""
+    row; chainercv-style AP arrays are sized by the max class seen).
+    ``wrap=True`` keeps object positions on-image for large n_images
+    (the default 4+3i walk runs off a 64^2 canvas past ~15 images) —
+    used by the parity experiment's enlarged fixtures."""
     img_dir = os.path.join(root, "voc", "JPEGImages")
     os.makedirs(img_dir, exist_ok=True)
     rs = np.random.RandomState(0)
@@ -82,7 +85,7 @@ def _write_fake_voc(root, n_images=6, size=48, rich=False):
             cats = [16 + i % 5, (i % 15) + 1]
         else:
             cats = [16] + ([1] if i % 2 == 0 else [])
-        x0 = 4 + 3 * i
+        x0 = 4 + ((3 * i) % max(size - 28, 1) if wrap else 3 * i)
         for c in cats:
             poly = [x0, 4, x0 + 16, 4, x0 + 16, 20 + c % 7, x0, 20 + c % 7]
             annotations.append({

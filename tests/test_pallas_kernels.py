@@ -40,3 +40,30 @@ def test_assign_lanes_matches_scan_oracle():
     got = np.asarray(assign_pixels(cy, cx, cv, cr, offsets, roots))
     want = np.asarray(assign_pixels_scan(cy, cx, cv, cr, offsets, roots))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu", reason="TPU-only kernel")
+def test_pallas_stamp_matches_xla_scan():
+    """Batched Pallas stamping == vmapped XLA stamp_centers, bit-equal,
+    incl. off-plane and invalid slots and both production sigmas."""
+    from functools import partial
+
+    from cl4wsis_tpu.ops.labelgen import stamp_centers
+    from cl4wsis_tpu.ops.pallas_stamp import stamp_centers_batched_pallas
+
+    for sigma, H, C, K, B in [(6, 64, 5, 12, 3), (8, 128, 4, 8, 2)]:
+        W = H
+        rs = np.random.RandomState(sigma)
+        cy = rs.uniform(-5, H + 5, (B, K)).astype(np.float32)
+        cx = rs.uniform(-5, W + 5, (B, K)).astype(np.float32)
+        cls = rs.randint(0, C, (B, K)).astype(np.int32)
+        valid = rs.rand(B, K) > 0.3
+        got = np.asarray(stamp_centers_batched_pallas(
+            jnp.asarray(valid), jnp.asarray(cy), jnp.asarray(cx),
+            jnp.asarray(cls), C, sigma, (H, W)))
+        want = np.asarray(jax.jit(jax.vmap(partial(
+            stamp_centers, num_classes=C, sigma=sigma, shape=(H, W))))(
+            jnp.asarray(valid), jnp.asarray(cy), jnp.asarray(cx),
+            jnp.asarray(cls)))
+        assert got.any()
+        np.testing.assert_array_equal(got, want)
