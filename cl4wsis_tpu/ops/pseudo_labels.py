@@ -109,15 +109,15 @@ def class_components(seg_map: jnp.ndarray, cls_label: jnp.ndarray,
     idx = jnp.arange(HW, dtype=jnp.int32)
     skey, sidx, speak = ss.sort_by(roots.reshape(-1), idx, peak_plane)
     starts = ss.run_starts(skey)
-    ends = ss.run_ends(skey)
     y_e = sidx // W
     x_e = sidx % W
-    area_e = ss.seg_length(starts, ends)
     # int32 sums are EXACT here (<= HW * (H-1) < 2^31), unlike the f32
-    # accumulation of a segment_sum table
-    sy_e = ss.seg_total(y_e, starts, ends)
-    sx_e = ss.seg_total(x_e, starts, ends)
-    counts_e = ss.seg_total(speak, starts, ends)
+    # accumulation of a segment_sum table. One fused Pallas pass on TPU:
+    # each XLA associative_scan level materializes stride-2 slices +
+    # interior pads over the full row in HBM (~70 ms/step of the round-4
+    # phase-2 trace across this function + the refine weak-CC stats).
+    from cl4wsis_tpu.ops.pallas_seg import run_totals1
+    area_e, sy_e, sx_e, counts_e = run_totals1(skey, y_e, x_e, speak)
     denom = jnp.maximum(area_e, 1).astype(jnp.float32)
     cy_e = sy_e.astype(jnp.float32) / denom
     cx_e = sx_e.astype(jnp.float32) / denom

@@ -97,11 +97,13 @@ def _global_center_slots(eff, roots, ok_plane, center_map, offset_map,
     skw, sidxw, sclsw = ss.sort_by(roots_w.reshape(-1), idx,
                                    weak_eff.reshape(-1))
     startsw = ss.run_starts(skw)
-    endsw = ss.run_ends(skw)
-    area_w = ss.seg_length(startsw, endsw)
+    # fused Pallas run totals on TPU (see class_components note)
+    from cl4wsis_tpu.ops.pallas_seg import run_totals1
+    area_w, syw, sxw, _ = run_totals1(skw, sidxw // W, sidxw % W,
+                                      jnp.zeros_like(skw))
     den_w = jnp.maximum(area_w, 1).astype(jnp.float32)
-    cyw_e = ss.seg_total(sidxw // W, startsw, endsw).astype(jnp.float32) / den_w
-    cxw_e = ss.seg_total(sidxw % W, startsw, endsw).astype(jnp.float32) / den_w
+    cyw_e = syw.astype(jnp.float32) / den_w
+    cxw_e = sxw.astype(jnp.float32) / den_w
     accept_w = (skw < HW) & (area_w > 21 - beta) & (area_w < 21 + beta)
 
     # probe window: select TWICE the cap so the validity checks (heat,

@@ -67,3 +67,35 @@ def test_pallas_stamp_matches_xla_scan():
             jnp.asarray(cls)))
         assert got.any()
         np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu", reason="TPU-only kernel")
+def test_pallas_seg_run_totals_matches_segsort():
+    """Pallas run-totals kernel == the segsort composition, bit-exact,
+    incl. singleton runs, a full-row run, and the vmapped (custom_vmap)
+    batched path."""
+    import cl4wsis_tpu.ops.pallas_seg as pseg
+
+    rs = np.random.RandomState(0)
+    B, N = 3, 2048
+    k = np.sort(rs.randint(0, 90, (B, N)).astype(np.int32), axis=1)
+    k[2, :] = 5
+    v1 = rs.randint(0, 50, (B, N)).astype(np.int32)
+    v2 = rs.randint(0, 50, (B, N)).astype(np.int32)
+    v3 = rs.randint(0, 2, (B, N)).astype(np.int32)
+    got = pseg.run_totals_pallas(jnp.asarray(k), jnp.asarray(v1),
+                                 jnp.asarray(v2), jnp.asarray(v3))
+    old = pseg.ENABLED
+    try:
+        pseg.ENABLED = False
+        want = pseg.run_totals(jnp.asarray(k), jnp.asarray(v1),
+                               jnp.asarray(v2), jnp.asarray(v3))
+    finally:
+        pseg.ENABLED = old
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+    # vmapped per-image entry (the factory call shape)
+    vm = jax.jit(jax.vmap(pseg.run_totals1))(
+        jnp.asarray(k), jnp.asarray(v1), jnp.asarray(v2), jnp.asarray(v3))
+    for g, w in zip(vm, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
