@@ -2,6 +2,10 @@
 sharded vs unsharded execution matches (SURVEY.md §5 — replaces the
 reference's printed-canary eyeballing with actual checks)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: full jitted phase programs
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,6 +1,10 @@
 """Phase-1 (CL-WSSS) train step: compiles and runs on the 8-device mesh,
 loss finite, pseudolabeler learns the image-level labels."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: full jitted phase programs
+
 import jax
 import jax.numpy as jnp
 import numpy as np

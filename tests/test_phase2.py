@@ -2,6 +2,10 @@
 factory, refinement, losses) compiles and runs on the 8-device mesh; only
 the instance branch trains."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: full jitted phase programs
+
 import jax
 import jax.numpy as jnp
 import numpy as np

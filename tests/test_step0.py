@@ -1,6 +1,10 @@
 """End-to-end smoke: step-0 supervised training on synthetic data,
 sharded over the virtual 8-device CPU mesh, loss must decrease."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: full jitted phase programs
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -16,6 +16,8 @@ Phase-2 transcribes /root/reference/train.py:256-272,418-541.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy: full jitted phase programs
+
 import jax
 import jax.numpy as jnp
 
