@@ -27,20 +27,30 @@ def mask_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 def ins_map_iou(ins_map: np.ndarray, slot_ids: np.ndarray,
                 gt_masks: np.ndarray) -> np.ndarray:
     """IoU between slot-id-map instances and GT masks without materializing
-    prediction masks: (len(slot_ids), len(gt_masks))."""
-    n_slots = len(slot_ids)
-    out = np.zeros((n_slots, len(gt_masks)), np.float64)
-    areas = {s: float((ins_map == s).sum()) for s in slot_ids}
-    for j, g in enumerate(gt_masks):
-        g = g.astype(bool)
-        g_area = float(g.sum())
-        ids, counts = np.unique(ins_map[g], return_counts=True)
-        inter = dict(zip(ids.tolist(), counts.tolist()))
-        for i, s in enumerate(slot_ids):
-            it = float(inter.get(int(s), 0))
-            union = areas[s] + g_area - it
-            out[i, j] = it / union if union > 0 else 0.0
-    return out
+    prediction masks: (len(slot_ids), len(gt_masks)).
+
+    Histogram formulation: ONE bincount of the map gives every slot area
+    and one bincount per GT (over only its own pixels) every intersection
+    row — the per-slot equality scans + dict loops this replaces were
+    O(n_slots * HW) per image, which drags at COCO scale (5k images x
+    up-to-100 slots)."""
+    slot_ids = np.asarray(slot_ids)
+    n_slots, n_gt = len(slot_ids), len(gt_masks)
+    if n_slots == 0 or n_gt == 0:
+        return np.zeros((n_slots, n_gt), np.float64)
+    flat = ins_map.reshape(-1).astype(np.int64)
+    shift = min(int(flat.min()), int(slot_ids.min()), 0)  # bg is -1
+    flat -= shift
+    sids = slot_ids.astype(np.int64) - shift
+    nbins = int(max(flat.max(), sids.max())) + 1
+    areas = np.bincount(flat, minlength=nbins)[sids].astype(np.float64)
+    g = np.asarray(gt_masks).reshape(n_gt, -1).astype(bool)
+    g_areas = g.sum(1).astype(np.float64)
+    inter = np.stack(
+        [np.bincount(flat[gi], minlength=nbins)[sids] for gi in g],
+        axis=1).astype(np.float64)
+    union = areas[:, None] + g_areas[None, :] - inter
+    return np.where(union > 0, inter / np.maximum(union, 1), 0.0)
 
 
 class InstanceAPAccumulator:

@@ -33,6 +33,20 @@ def topk_hier(x: jnp.ndarray, k: int, chunk: int = 1024):
     if n <= 4 * chunk or chunk < k:
         return jax.lax.top_k(x, k)
     lead = x.shape[:-1]
+    # TPU: iterative VMEM extraction instead of chunked sorts (the two
+    # factory top-k calls still cost ~5 ms/step each as [*, 256, 1024]
+    # stable sorts + staging copies on the round-4 phase-2 trace). The
+    # kernel requires finite inputs (both call sites use finite sentinels)
+    # and k small enough to win — peaks are k << N.
+    from cl4wsis_tpu.ops import pallas_topk
+    if (pallas_topk.available() and n % 1024 == 0 and k <= 128
+            and jnp.issubdtype(x.dtype, jnp.floating)):
+        B = 1
+        for d in lead:
+            B *= d
+        vals, idx = pallas_topk.topk_pallas(x.reshape(B, n), k)
+        return (vals.reshape(lead + (k,)).astype(x.dtype),
+                idx.reshape(lead + (k,)))
     r = (n + chunk - 1) // chunk
     pad = r * chunk - n
     if pad:

@@ -99,3 +99,24 @@ def test_pallas_seg_run_totals_matches_segsort():
         jnp.asarray(k), jnp.asarray(v1), jnp.asarray(v2), jnp.asarray(v3))
     for g, w in zip(vm, want):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu", reason="TPU-only kernel")
+def test_pallas_topk_matches_lax_topk():
+    """Iterative-extraction top-k == jax.lax.top_k bit-exact, including
+    tie order (stable, lower index first), sparse NMS-like rows, and a
+    100-way tie block."""
+    import cl4wsis_tpu.ops.pallas_topk as ptk
+
+    rs = np.random.RandomState(0)
+    for (B, N, k) in [(4, 4096, 7), (8, 262144, 25)]:
+        x = rs.rand(B, N).astype(np.float32)
+        x[0] = -1.0
+        nz = rs.choice(N, 40, replace=False)
+        x[0, nz] = rs.choice([0.5, 0.9, 0.9, 0.7], 40)
+        x[1, :100] = 0.25
+        xv = jnp.asarray(x)
+        wv, wi = jax.lax.top_k(xv, k)
+        gv, gi = ptk.topk_pallas(xv, k)
+        np.testing.assert_array_equal(np.asarray(gv), np.asarray(wv))
+        np.testing.assert_array_equal(np.asarray(gi), np.asarray(wi))
