@@ -97,9 +97,39 @@ def bench_step0(batch_size: int = 16, size: int = 512, steps: int = 20,
                                     jax.random.fold_in(rng, i))
     jax.block_until_ready(metrics["loss"])
     dt = time.perf_counter() - t0
-    return {"img_s": batch_size * steps / dt, "tag": "step0",
-            "flops_per_step": flops, "batch_size": batch_size,
-            "steps": steps, "dt": dt}
+    out = {"img_s": batch_size * steps / dt, "tag": "step0",
+           "flops_per_step": flops, "batch_size": batch_size,
+           "steps": steps, "dt": dt}
+    # device-true timing (wall clock through the tunnel is untrusted)
+    try:
+        import shutil
+        import tempfile
+
+        from cl4wsis_tpu.utils.device_time import (device_time_report,
+                                                   main_module_times)
+        tdir = tempfile.mkdtemp(prefix="bench_trace_")
+        try:
+            with jax.profiler.trace(tdir):
+                for i in range(steps):
+                    state, metrics = train_step(
+                        state, batches[i % n_batches],
+                        jax.random.fold_in(rng, 99 + i))
+                jax.block_until_ready(metrics["loss"])
+            rep = device_time_report(tdir)
+            per_step = main_module_times(tdir)
+        finally:
+            shutil.rmtree(tdir, ignore_errors=True)
+        if rep["device_busy_s"] > 0:
+            out["device_dt"] = rep["device_busy_s"]
+            out["device_steps"] = steps
+            if per_step:
+                out["device_step_min"] = min(per_step)
+                out["device_step_mean"] = sum(per_step) / len(per_step)
+                out["device_step_n"] = len(per_step)
+    except Exception:
+        if jax.default_backend() == "tpu":
+            raise
+    return out
 
 
 def bench_phase1(batch_size: int = 16, size: int = 512, steps: int = 20,

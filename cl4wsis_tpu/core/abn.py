@@ -12,8 +12,9 @@ design is different and simpler:
 * The memory savings of *in-place* ABN come for free from XLA fusion +
   rematerialization (`jax.checkpoint` on the backbone blocks); there is no
   manual buffer reuse to write.
-* An optional fused Pallas kernel (``cl4wsis_tpu.core.pallas_abn``) covers the
-  normalize+activate elementwise pass for peak HBM-bandwidth efficiency.
+* The normalize+activate elementwise pass stays plain jnp so XLA fuses it
+  into conv epilogues (a dedicated Pallas kernel was A/B'd and deleted:
+  ~2x slower as a fusion barrier — docs/verification.md round 4).
 
 Layout is NHWC (TPU-native), stats are computed in float32 regardless of the
 compute dtype. Running stats follow the torch convention used by the iABN
@@ -101,14 +102,10 @@ class ABN(nn.Module):
 
         dtype = self.dtype or x.dtype
         inv = jax.lax.rsqrt(var + self.eps) * scale
-        slope = {"leaky_relu": self.activation_param, "identity": 1.0,
-                 "relu": 0.0}.get(self.activation)
-        from cl4wsis_tpu.core import pallas_abn
-        if slope is not None and pallas_abn._on_tpu():
-            # fused normalize+activate Pallas kernel (opt-in; see pallas_abn).
-            # When off, the plain jnp path below keeps ordinary autodiff so
-            # XLA fuses the affine into conv epilogues.
-            shift = bias - mean * inv
-            return pallas_abn.fused_affine_act(x, inv, shift, slope).astype(dtype)
+        # plain jnp on purpose: XLA fuses the affine+activation into the
+        # producing conv's epilogue. A fused Pallas kernel for this pass
+        # (core/pallas_abn.py, removed round 4) is a fusion BARRIER and
+        # measured ~2x SLOWER end-to-end on the real chip (phase-1
+        # 155.4 -> 82.5 img/s, step-0 similar; docs/verification.md).
         y = (x.astype(jnp.float32) - mean) * inv + bias
         return _activate(y, self.activation, self.activation_param).astype(dtype)

@@ -26,10 +26,8 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
-from cl4wsis_tpu.ops import segsort as ss
 from cl4wsis_tpu.ops.cc import connected_components_multilabel
 from cl4wsis_tpu.ops.grouping import assign_pixels
-from cl4wsis_tpu.ops.pseudo_labels import MINIMUM_MASK_SIZE
 from cl4wsis_tpu.ops.refine import _global_center_slots, _slot_stats
 
 
@@ -63,20 +61,13 @@ def get_ins_map(seg_prob: jnp.ndarray, center_map: jnp.ndarray,
 
     roots = connected_components_multilabel(seg_map, connectivity=8,
                                             num_iters=cc_iters)
-    # per-pixel component-area-ok plane via one sort + segmented scan +
-    # back-sort (same rationale as ops/segsort.py: no HW-table scatters)
-    idx = jnp.arange(H * W, dtype=jnp.int32)
-    skey, sidx = ss.sort_by(roots.reshape(-1), idx)
-    starts = ss.run_starts(skey)
-    area_e = ss.seg_length(starts, ss.run_ends(skey))
-    ok_e = (skey < H * W) & (area_e >= MINIMUM_MASK_SIZE)
-    _, ok_flat = ss.sort_by(sidx, ok_e.astype(jnp.int32))
-    ok_plane = ok_flat.reshape(H, W) > 0
-
     # NB: no MAXIMUM_NUM_INST cap at eval (the reference's get_ins_map has
-    # none, dataset/utils.py:836-880 — the cap is a refine-only rule)
+    # none, dataset/utils.py:836-880 — the cap is a refine-only rule).
+    # Component size gates are per-slot component_stats queries inside
+    # _global_center_slots — the full-HW sort + segmented scan + back-sort
+    # this used to run for a per-pixel ok plane is gone.
     slots, ch_spiked, truncated = _global_center_slots(
-        seg_map, roots, ok_plane, center_map, offset_map, val_thresh,
+        seg_map, roots, center_map, offset_map, val_thresh,
         val_kernel, beta, max_ctr, max_cluster, cc_iters, C,
         max_inst_cap=False)
 

@@ -25,7 +25,6 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from cl4wsis_tpu.ops import segsort as ss
 from cl4wsis_tpu.ops.cc import connected_components_multilabel
 from cl4wsis_tpu.ops.labelgen import stamp_centers
 
@@ -34,30 +33,48 @@ MAXIMUM_NUM_INST = 5    # modules/utils.py:15
 
 
 class Components(NamedTuple):
-    """Shared label-factory component pass, in SORTED-DOMAIN form.
+    """Shared label-factory component pass, in PEAK-SEEDED form.
 
-    ``jax.ops.segment_*`` over HW-sized root tables lowers to serialized
-    XLA scatters (~36 ms each over 4M inputs on the round-3 device trace;
-    six of them were the biggest cost block of the whole phase-2 step), and
-    reading a table back per pixel is a ~45 ms gather. Sorting the root map
-    once (~6 ms) makes every per-component stat a segmented scan, and ONE
-    back-sort turns the results into per-pixel PLANES that subsume every
-    ``table[roots]`` read: table[roots[y, x]] == plane[y, x].
-
-    Element arrays (``*_e``) are indexed by sorted position; ``skey`` is the
-    element's component root (= smallest member flat index; HW for
-    background), ``sidx`` its original flat pixel index.
+    Every component the factory can ACCEPT contains exactly one valid CAM
+    peak (modules/utils.py:204-216), so the set of components that matter
+    downstream is bounded by the static peak budget S = n_active_classes *
+    K — not by the image. Stats therefore live on the (S,) peak axis,
+    computed by fused lane compares against the root plane
+    (:func:`component_stats`), instead of the earlier sorted-domain design:
+    two full HW sorts + segmented scans per image cost ~25 ms/step of the
+    round-4 phase-2 device trace (the s32[16, 262144] sort pair plus their
+    HBM<->staging copies), all to carry per-pixel stats of components that
+    could never be accepted.
     """
-    eff: jnp.ndarray        # (H, W) int32 class map (0 = bg/inactive)
-    roots: jnp.ndarray      # (H, W) int32 component root per pixel
-    skey: jnp.ndarray       # (HW,) int32 sorted root ids
-    sidx: jnp.ndarray       # (HW,) int32 original flat index per element
-    starts: jnp.ndarray     # (HW,) bool run starts in sorted order
-    area_e: jnp.ndarray     # (HW,) int32 component area per element
-    cy_e: jnp.ndarray       # (HW,) f32 component centroid y per element
-    cx_e: jnp.ndarray       # (HW,) f32 component centroid x per element
-    accept_e: jnp.ndarray   # (HW,) bool 1-peak-1-component acceptance
-    packed_px: jnp.ndarray  # (H, W) int32 (accept*2 + ok)*HW + cyi*W + cxi
+    eff: jnp.ndarray       # (H, W) int32 class map (0 = bg/inactive)
+    roots: jnp.ndarray     # (H, W) int32 component root per pixel (HW = bg)
+    proot: jnp.ndarray     # (S,) int32 component root per peak (HW invalid)
+    accept_p: jnp.ndarray  # (S,) bool 1-peak-1-component acceptance
+    cy_p: jnp.ndarray      # (S,) f32 component centroid y per peak
+    cx_p: jnp.ndarray      # (S,) f32 component centroid x per peak
+    pcls: jnp.ndarray      # (S,) int32 0-based global class id per peak
+
+
+def component_stats(roots: jnp.ndarray, qroots: jnp.ndarray
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Exact (area, sum_y, sum_x) of each query root's component.
+
+    One fused (HW, S) lane compare + reduce over the root plane — the
+    promoted round-3 pattern (a ~121-lane fused reduce streams at memory
+    speed, while an HW-table ``segment_sum``/gather pair profiled 36+45 ms).
+    Sentinel queries (>= HW, the background root) return zeros rather than
+    the full background count. int32 sums are EXACT (<= HW*(H-1) < 2^31).
+    """
+    H, W = roots.shape
+    HW = H * W
+    flat = roots.reshape(-1)
+    idx = jnp.arange(HW, dtype=jnp.int32)
+    q = jnp.where(qroots < HW, qroots, -1)      # bg/invalid matches nothing
+    hot = flat[:, None] == q[None, :]           # (HW, S) fused lanes
+    area = jnp.sum(hot.astype(jnp.int32), axis=0)
+    sy = jnp.sum(jnp.where(hot, (idx // W)[:, None], 0), axis=0)
+    sx = jnp.sum(jnp.where(hot, (idx % W)[:, None], 0), axis=0)
+    return area, sy, sx
 
 
 def class_components(seg_map: jnp.ndarray, cls_label: jnp.ndarray,
@@ -67,18 +84,20 @@ def class_components(seg_map: jnp.ndarray, cls_label: jnp.ndarray,
                      peak_valid: jnp.ndarray | None = None) -> Components:
     """Shared CC pass of the phase-2 label factory: mask the argmax seg to
     active classes in [first_class, num_classes), label every class's
-    components in ONE multilabel fixpoint pass, and compute per-component
-    stats in ONE sorted-domain pass (see Components).
+    components in ONE multilabel fixpoint pass, and compute the stats of
+    every peak-seeded component (see Components).
 
     Both pseudo_label_generation and refine_label_generation consume the
     SAME (seg, label) input, so the train step computes this once and
     passes it to both — the round-2 profile showed each fixpoint pass is a
     top-3 cost of the whole step, and running it twice was pure waste.
 
-    When CAM peaks are given, the per-component valid-peak count rides the
-    same sort (reference acceptance rule modules/utils.py:204-216: exactly
-    one peak of the component's class inside it); without peaks, accept_e
-    is all-False and only the ok bit (area >= MINIMUM_MASK_SIZE) is live.
+    A peak of class c is live iff it lands on a pixel of class c+1
+    (components are class-pure, so counting same-root live peaks equals the
+    reference's per-class in-component count, modules/utils.py:204-216);
+    acceptance = live peak + component area >= MINIMUM_MASK_SIZE + exactly
+    one live peak in the component. Without peaks (the standalone
+    refinement path), the peak axis is empty.
     """
     H, W = seg_map.shape
     HW = H * W
@@ -92,48 +111,31 @@ def class_components(seg_map: jnp.ndarray, cls_label: jnp.ndarray,
     roots = connected_components_multilabel(eff, connectivity=8,
                                             num_iters=cc_iters)
 
-    # peak indicator plane: a valid peak of class c counts iff it lands on
-    # a pixel of class c+1 (components are class-pure, so the per-component
-    # sum equals the reference's per-class in-component count). A ~120-
-    # element scatter, not an HW-table one.
-    if peak_ys is not None:
-        py = peak_ys.reshape(-1)
-        px = peak_xs.reshape(-1)
-        pcls = jnp.repeat(jnp.arange(num_classes), peak_ys.shape[1])
-        okp = peak_valid.reshape(-1) & (eff[py, px] == pcls + 1)
-        peak_plane = jnp.zeros((HW,), jnp.int32).at[py * W + px].add(
-            okp.astype(jnp.int32))
-    else:
-        peak_plane = jnp.zeros((HW,), jnp.int32)
+    if peak_ys is None:
+        z = jnp.zeros((0,))
+        return Components(eff, roots, z.astype(jnp.int32), z.astype(bool),
+                          z.astype(jnp.float32), z.astype(jnp.float32),
+                          z.astype(jnp.int32))
 
-    idx = jnp.arange(HW, dtype=jnp.int32)
-    skey, sidx, speak = ss.sort_by(roots.reshape(-1), idx, peak_plane)
-    starts = ss.run_starts(skey)
-    y_e = sidx // W
-    x_e = sidx % W
-    # int32 sums are EXACT here (<= HW * (H-1) < 2^31), unlike the f32
-    # accumulation of a segment_sum table. One fused Pallas pass on TPU:
-    # each XLA associative_scan level materializes stride-2 slices +
-    # interior pads over the full row in HBM (~70 ms/step of the round-4
-    # phase-2 trace across this function + the refine weak-CC stats).
-    from cl4wsis_tpu.ops.pallas_seg import run_totals1
-    area_e, sy_e, sx_e, counts_e = run_totals1(skey, y_e, x_e, speak)
-    denom = jnp.maximum(area_e, 1).astype(jnp.float32)
-    cy_e = sy_e.astype(jnp.float32) / denom
-    cx_e = sx_e.astype(jnp.float32) / denom
+    # classes below first_class never produce labels (their eff pixels are
+    # zeroed) — slice them off so the static peak axis S stays lane-sized
+    py = peak_ys[first_class:].reshape(-1)
+    px = peak_xs[first_class:].reshape(-1)
+    K = peak_ys.shape[1]
+    pcls = jnp.repeat(jnp.arange(first_class, num_classes), K)
+    okp = peak_valid[first_class:].reshape(-1) & (eff[py, px] == pcls + 1)
+    proot = jnp.where(okp, roots[py, px], HW)
 
-    fg_e = skey < HW
-    ok_e = fg_e & (area_e >= MINIMUM_MASK_SIZE)
-    accept_e = ok_e & (counts_e == 1)
-    cyi = jnp.clip(jnp.floor(cy_e), 0, H - 1).astype(jnp.int32)
-    cxi = jnp.clip(jnp.floor(cx_e), 0, W - 1).astype(jnp.int32)
-    flags = accept_e.astype(jnp.int32) * 2 + ok_e.astype(jnp.int32)
-    packed_e = (flags * H + cyi) * W + cxi
-    # back-sort by original index = the per-pixel plane (a second ~6 ms
-    # sort instead of a ~36 ms scatter or ~45 ms per-pixel table gather)
-    _, packed_px = ss.sort_by(sidx, packed_e)
-    return Components(eff, roots, skey, sidx, starts, area_e, cy_e, cx_e,
-                      accept_e, packed_px.reshape(H, W))
+    area_p, sy_p, sx_p = component_stats(roots, proot)
+    denom = jnp.maximum(area_p, 1).astype(jnp.float32)
+    cy_p = sy_p.astype(jnp.float32) / denom
+    cx_p = sx_p.astype(jnp.float32) / denom
+    # live peaks sharing this peak's component (an S x S compare, not an
+    # HW-table scatter); acceptance wants exactly one
+    cnt_p = jnp.sum((okp[None, :] & (proot[:, None] == proot[None, :]))
+                    .astype(jnp.int32), axis=1)
+    accept_p = okp & (area_p >= MINIMUM_MASK_SIZE) & (cnt_p == 1)
+    return Components(eff, roots, proot, accept_p, cy_p, cx_p, pcls)
 
 
 def pseudo_label_slots(seg_map: jnp.ndarray,
@@ -159,39 +161,54 @@ def pseudo_label_slots(seg_map: jnp.ndarray,
     xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
 
     # zero out pixels of inactive / skipped classes, then label every
-    # class's components + stats in ONE sorted-domain pass (or reuse the
-    # caller's shared pass — phase2 computes it once with the peaks inline)
+    # class's components + peak-seeded stats (or reuse the caller's shared
+    # pass — phase2 computes it once with the peaks inline)
     if components is None:
         components = class_components(seg_map, cls_label, num_classes,
                                       first_class, cc_iters,
                                       peak_ys, peak_xs, peak_valid)
     comp: Components = components
-    eff = comp.eff
 
-    # per-pixel component properties: acceptance bit + floored centroid
-    # arrive pre-packed in one int32 plane (Components.packed_px) — no
-    # root-table scatters, no per-pixel table gathers
-    pkm = comp.packed_px
-    acc_px = pkm >= 2 * HW
-    rem = pkm % HW
+    # per-pixel offset/weight maps over ALL accepted components (exact
+    # regardless of the stamping cap): each accepted component holds
+    # exactly one live peak, so matching the pixel's root against the
+    # accepted peaks' roots is one fused (HW, S) lane compare; exactly one
+    # lane can be hot, so a masked sum reads out the packed centroid.
+    acc_root = jnp.where(comp.accept_p, comp.proot, HW)
+    cyi = jnp.clip(jnp.floor(comp.cy_p), 0, H - 1).astype(jnp.int32)
+    cxi = jnp.clip(jnp.floor(comp.cx_p), 0, W - 1).astype(jnp.int32)
+    packed_p = jnp.where(comp.accept_p, cyi * W + cxi + 1, 0)  # 0 = no hit
+    hot = comp.roots.reshape(-1)[:, None] == \
+        jnp.where(acc_root < HW, acc_root, -1)[None, :]
+    pk_px = jnp.sum(jnp.where(hot, packed_p[None, :], 0),
+                    axis=1).reshape(H, W)
+    acc_px = pk_px > 0
+    rem = jnp.maximum(pk_px - 1, 0)
     off_y = ((rem // W).astype(jnp.float32) - ys) * acc_px
     off_x = ((rem % W).astype(jnp.float32) - xs) * acc_px
     offset = jnp.stack([off_y, off_x], axis=-1)
     weight_map = acc_px.astype(jnp.float32)[..., None]
 
     # up to max_comp accepted components stamp gaussians, in ascending root
-    # order (sorted order IS root order); a root's class is its own pixel's
-    # class (roots are class-pure)
-    flags_sel = comp.starts & comp.accept_e
-    pos = ss.select_flagged(flags_sel, max_comp)
-    posc = jnp.minimum(pos, HW - 1)
-    valid = (pos < HW) & flags_sel[posc]
-    sel_root = comp.skey[posc]
-    sel_cls = eff.reshape(-1)[jnp.where(valid, sel_root, 0)] - 1
-    sel_cls = jnp.clip(sel_cls, 0, num_classes - 1)
-    n_match = jnp.sum(flags_sel.astype(jnp.int32))
+    # order (the order the former sorted-domain selection produced);
+    # accepted roots are distinct, so the sort is tie-free. Pad the peak
+    # axis so the slot arrays keep their static max_comp length.
+    S = acc_root.shape[0]
+    cy_p, cx_p, pcls = comp.cy_p, comp.cx_p, comp.pcls
+    if S < max_comp:
+        pad = max_comp - S
+        acc_root = jnp.concatenate(
+            [acc_root, jnp.full((pad,), HW, jnp.int32)])
+        cy_p = jnp.concatenate([cy_p, jnp.zeros((pad,), cy_p.dtype)])
+        cx_p = jnp.concatenate([cx_p, jnp.zeros((pad,), cx_p.dtype)])
+        pcls = jnp.concatenate([pcls, jnp.zeros((pad,), pcls.dtype)])
+    order = jnp.argsort(acc_root)
+    take = order[:max_comp]
+    valid = acc_root[take] < HW
+    n_match = jnp.sum(comp.accept_p.astype(jnp.int32))
     truncated = jnp.maximum(n_match - max_comp, 0)
-    slots = (valid, comp.cy_e[posc], comp.cx_e[posc], sel_cls)
+    slots = (valid, cy_p[take], cx_p[take],
+             jnp.clip(pcls[take], 0, num_classes - 1))
     return slots, offset, weight_map, n_match, truncated
 
 

@@ -42,10 +42,11 @@ from cl4wsis_tpu.ops.peaks import max_pool_same
 from cl4wsis_tpu.ops.topk import topk_hier
 from cl4wsis_tpu.ops.pseudo_labels import (MAXIMUM_NUM_INST,
                                            MINIMUM_MASK_SIZE, Components,
-                                           class_components)
+                                           class_components,
+                                           component_stats)
 
 
-def _global_center_slots(eff, roots, ok_plane, center_map, offset_map,
+def _global_center_slots(eff, roots, center_map, offset_map,
                          threshold, nms_kernel, beta, max_ctr, max_cluster,
                          cc_iters, num_classes, first_class=0,
                          max_inst_cap=True):
@@ -53,8 +54,13 @@ def _global_center_slots(eff, roots, ok_plane, center_map, offset_map,
     flat array (NC = num_classes - first_class active-range classes).
 
     Returns dict with (NC*max_ctr + NC*max_cluster,)-shaped slot arrays
-    (ys, xs, valid, root, cls — GLOBAL class ids), the spiked heatmap stack
-    (H, W, NC), and the NMS truncation count.
+    (ys, xs, valid, root, cls — GLOBAL class ids, plus cyf/cxf: the floored
+    centroid of each slot's component), the spiked heatmap stack (H, W,
+    NC), and the NMS truncation count. Component size/centroid checks are
+    per-SLOT component_stats queries (a fused lane compare over the root
+    plane) — the per-pixel ok/centroid planes they replace needed the
+    full-HW sorted-domain pass (~25 ms/step of sorts + staging copies on
+    the round-4 trace) for values only ever read at ~160 slot positions.
     """
     H, W = eff.shape
     HW = H * W
@@ -75,7 +81,6 @@ def _global_center_slots(eff, roots, ok_plane, center_map, offset_map,
     n_xs = (n_idx % W).astype(jnp.int32)
     n_valid = n_vals > 0
     n_root = roots[n_ys, n_xs]
-    n_valid = n_valid & (n_root != HW) & ok_plane[n_ys, n_xs]
     # NMS centers beyond the slot cap are silently dropped relative to the
     # reference's top_k=10000 (train.py:497); count them so callers surface
     # saturation instead of hiding it. (Cluster-slot overflow is counted
@@ -128,7 +133,22 @@ def _global_center_slots(eff, roots, ok_plane, center_map, offset_map,
     c_xs = jnp.floor(cxw_e[c_pos]).astype(jnp.int32)
     c_root = roots[c_ys, c_xs]
     ch_at = ch_all[c_ys, c_xs, jnp.arange(nc)[:, None]]
-    c_valid = c_acc & (ch_at > 0.05) & (c_root != HW) & ok_plane[c_ys, c_xs]
+
+    # ONE component_stats query for every slot's component: the size gate
+    # (area >= MINIMUM_MASK_SIZE, reference's `ok`) and the floored
+    # centroid fallback the caller stamps when the center heat is weak
+    q = jnp.concatenate([n_root.reshape(-1), c_root.reshape(-1)])
+    area_q, sy_q, sx_q = component_stats(roots, q)
+    ok_q = area_q >= MINIMUM_MASK_SIZE
+    den_q = jnp.maximum(area_q, 1).astype(jnp.float32)
+    cyf_q = jnp.clip(jnp.floor(sy_q.astype(jnp.float32) / den_q), 0, H - 1)
+    cxf_q = jnp.clip(jnp.floor(sx_q.astype(jnp.float32) / den_q), 0, W - 1)
+    n_sl = n_root.size
+    ok_n, ok_c = ok_q[:n_sl].reshape(n_root.shape), \
+        ok_q[n_sl:].reshape(c_root.shape)
+
+    n_valid = n_valid & (n_root != HW) & ok_n
+    c_valid = c_acc & (ch_at > 0.05) & (c_root != HW) & ok_c
     # merge rule: accept a cluster center only if >100px from every valid
     # NMS center of the same component (same class by root purity)
     d2 = (jnp.square(c_ys[:, :, None] - n_ys[:, None, :]).astype(jnp.float32) +
@@ -137,6 +157,10 @@ def _global_center_slots(eff, roots, ok_plane, center_map, offset_map,
     min_d = jnp.min(jnp.where(same, jnp.sqrt(d2), jnp.inf), axis=2)
     c_valid = c_valid & (min_d > 100.0)
     truncated = truncated + jnp.sum(c_valid[:, max_cluster:].astype(jnp.int32))
+    cyf_n = cyf_q[:n_sl].reshape(n_root.shape)
+    cxf_n = cxf_q[:n_sl].reshape(n_root.shape)
+    cyf_c = cyf_q[n_sl:].reshape(c_root.shape)[:, :max_cluster]
+    cxf_c = cxf_q[n_sl:].reshape(c_root.shape)[:, :max_cluster]
     c_ys, c_xs = c_ys[:, :max_cluster], c_xs[:, :max_cluster]
     c_root, ch_at = c_root[:, :max_cluster], ch_at[:, :max_cluster]
     c_valid = c_valid[:, :max_cluster]
@@ -154,6 +178,8 @@ def _global_center_slots(eff, roots, ok_plane, center_map, offset_map,
         "valid": jnp.concatenate([n_valid.reshape(-1), c_valid.reshape(-1)]),
         "root": jnp.concatenate([n_root.reshape(-1), c_root.reshape(-1)]),
         "cls": cls_ids,
+        "cyf": jnp.concatenate([cyf_n.reshape(-1), cyf_c.reshape(-1)]),
+        "cxf": jnp.concatenate([cxf_n.reshape(-1), cxf_c.reshape(-1)]),
     }
 
     if max_inst_cap:
@@ -238,22 +264,16 @@ def refine_label_slots(seg_probs: jnp.ndarray, center_map: jnp.ndarray,
 
     # shared fixpoint pass: every class's components at once (reused from
     # the caller's pseudo-label pass when provided — identical input).
-    # Component stats arrive as per-pixel planes (Components.packed_px):
-    # the ok bit and floored centroid of pixel (y, x)'s component — every
-    # former table[root] read becomes a plane read at the probing pixel.
+    # Component size/centroid checks are per-slot component_stats queries
+    # inside _global_center_slots, not per-pixel planes.
     if components is None:
         components = class_components(gt_seg, label, C, first_class,
                                       cc_iters)
     comp: Components = components
     eff, roots = comp.eff, comp.roots
-    pkm = comp.packed_px
-    ok_plane = (pkm // HW) % 2 == 1            # area >= MINIMUM_MASK_SIZE
-    rem_plane = pkm % HW
-    cyf_plane = (rem_plane // W).astype(jnp.float32)   # floor(centroid y)
-    cxf_plane = (rem_plane % W).astype(jnp.float32)
 
     slots, ch_spiked, truncated = _global_center_slots(
-        eff, roots, ok_plane, center_map, offset_map, refine_thresh,
+        eff, roots, center_map, offset_map, refine_thresh,
         nms_kernel, beta, max_ctr, max_cluster, cc_iters, C, first_class)
 
     # ONE root-gated nearest-center assignment for every class's slots as
@@ -270,10 +290,9 @@ def refine_label_slots(seg_probs: jnp.ndarray, center_map: jnp.ndarray,
     slot_ok = slots["valid"] & (npix[:n_slots] > 0)
 
     use_seg_center = center_score < refine_thresh
-    # the slot's own coordinates index its component's centroid plane
-    # (plane[y, x] == old_table[roots[y, x]])
-    slot_cyf = cyf_plane[slots["ys"], slots["xs"]]
-    slot_cxf = cxf_plane[slots["ys"], slots["xs"]]
+    # floored centroid of the slot's own component (stats query result)
+    slot_cyf = slots["cyf"]
+    slot_cxf = slots["cxf"]
     out_y = jnp.where(use_seg_center, slot_cyf, py[:n_slots])
     out_x = jnp.where(use_seg_center, slot_cxf, px[:n_slots])
     conf = jnp.where(use_seg_center, seg_score, center_score * seg_score)

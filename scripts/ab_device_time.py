@@ -5,8 +5,7 @@ variant by what the DEVICE executed (jax.profiler trace -> utils/device_time)
 and prints one JSON line per variant.
 
 Usage (on the TPU env):
-    python scripts/ab_device_time.py baseline pallas_abn pallas_assign \
-        pallas_cc cc8 cc16
+    python scripts/ab_device_time.py baseline no_pallas_cc cc8 cc16
 
 Variants toggle env flags / bench args, all running bench_phase2's program
 with a profiler trace around the timed loop.
@@ -22,7 +21,6 @@ import sys
 
 VARIANTS = {
     "baseline": {},  # round 3+: includes the Pallas CC default
-    "pallas_abn": {"CL4WSIS_PALLAS_ABN": "1"},
     "no_pallas_cc": {"CL4WSIS_PALLAS_CC": "0"},
     "cc8": {"CL4WSIS_BENCH_CC_ITERS": "8"},
     "cc16": {"CL4WSIS_BENCH_CC_ITERS": "16"},

@@ -90,30 +90,6 @@ def test_abn_sync_across_mesh():
                                np.asarray(stats_local["batch_stats"]["mean"]), atol=1e-6)
 
 
-def test_fused_affine_act_grad_matches_autodiff():
-    """Custom-VJP of the fused ABN elementwise pass vs plain jnp autodiff."""
-    from cl4wsis_tpu.core.pallas_abn import fused_affine_act
-
-    def ref(x, inv, shift):
-        y = x * inv + shift
-        return jnp.where(y >= 0, y, 0.01 * y)
-
-    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 8))
-    inv = jax.random.uniform(jax.random.PRNGKey(1), (8,)) + 0.5
-    shift = jax.random.normal(jax.random.PRNGKey(2), (8,))
-
-    def loss_fused(x, inv, shift):
-        return jnp.sum(jnp.square(fused_affine_act(x, inv, shift, 0.01)))
-
-    def loss_ref(x, inv, shift):
-        return jnp.sum(jnp.square(ref(x, inv, shift)))
-
-    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(x, inv, shift)
-    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(x, inv, shift)
-    for a, b in zip(g1, g2):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
-
-
 def test_abn_grad_through_batch_stats():
     """End-to-end ABN gradient (stats + fused pass) vs explicit formula-free
     numerical check on a tiny input."""
