@@ -93,11 +93,25 @@ def main():
                     help="torch-family init (matches the reference scale)")
     ap.add_argument("--platform", default=None,
                     help="cpu to force XLA:CPU; default = session platform")
+    ap.add_argument("--images", type=int, default=16)
+    ap.add_argument("--wrap", action="store_true")
+    ap.add_argument("--paint", action="store_true",
+                    help="learnable fixture: class-colored painted objects")
     a = ap.parse_args()
 
     if a.platform:
         import jax
         jax.config.update("jax_platforms", a.platform)
+
+    fixture = os.path.join(a.root, "data")
+    if not os.path.exists(os.path.join(fixture, "voc",
+                                       "pascal_sbd_train.json")):
+        sys.path.insert(0, REPO)
+        from tests.test_data import _write_fake_voc
+        _write_fake_voc(fixture, n_images=a.images, size=a.size, rich=True,
+                        wrap=a.wrap, paint=a.paint)
+        print(f"fixture: wrote mini-VOC ({a.images} imgs @ {a.size}^2, "
+              f"paint={a.paint}) to {fixture}", flush=True)
 
     from cl4wsis_tpu.cli.main import main as cli_main
 

@@ -227,6 +227,8 @@ def main():
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--wrap", action="store_true",
                     help="on-image object positions for large fixtures")
+    ap.add_argument("--paint", action="store_true",
+                    help="learnable fixture: class-colored painted objects")
     a = ap.parse_args()
 
     os.makedirs(a.root, exist_ok=True)
@@ -235,7 +237,7 @@ def main():
                                        "pascal_sbd_train.json")):
         from tests.test_data import _write_fake_voc
         _write_fake_voc(fixture, n_images=a.images, size=a.size, rich=True,
-                        wrap=a.wrap)
+                        wrap=a.wrap, paint=a.paint)
         print(f"fixture: wrote mini-VOC ({a.images} imgs @ {a.size}^2) "
               f"to {fixture}", flush=True)
 

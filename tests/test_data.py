@@ -58,7 +58,14 @@ def test_polygon_fill():
     assert 64 <= m.sum() <= 100  # ~9x9 square
 
 
-def _write_fake_voc(root, n_images=6, size=48, rich=False, wrap=False):
+def _palette(c):
+    """Deterministic class-keyed RGB fill for painted fixtures."""
+    return np.array([(c * 37) % 200 + 55, (c * 91) % 200 + 55,
+                     (c * 151) % 200 + 55], np.uint8)
+
+
+def _write_fake_voc(root, n_images=6, size=48, rich=False, wrap=False,
+                    paint=False):
     """Tiny VOC/SBD fixture: images + COCO-style polygon annotations for
     classes 1 (old) and 16 (new in 15-5). With ``rich=True`` every image
     carries one of new classes 16..20 AND one of old classes 1..15, both
@@ -67,7 +74,14 @@ def _write_fake_voc(root, n_images=6, size=48, rich=False, wrap=False):
     row; chainercv-style AP arrays are sized by the max class seen).
     ``wrap=True`` keeps object positions on-image for large n_images
     (the default 4+3i walk runs off a 64^2 canvas past ~15 images) —
-    used by the parity experiment's enlarged fixtures."""
+    used by the parity experiment's enlarged fixtures.
+
+    ``paint=True`` makes the task LEARNABLE: objects are drawn into the
+    image in class-keyed colors over a gray-noise background, and the two
+    objects of a rich image are vertically separated instead of stacked.
+    The default (paint=False) leaves the images pure noise — structurally
+    valid for pipeline tests but information-free, so end-to-end training
+    on it can never reach nonzero mAP (the round-4 parity-run lesson)."""
     img_dir = os.path.join(root, "voc", "JPEGImages")
     os.makedirs(img_dir, exist_ok=True)
     rs = np.random.RandomState(0)
@@ -75,8 +89,10 @@ def _write_fake_voc(root, n_images=6, size=48, rich=False, wrap=False):
     ann_id = 1
     for i in range(n_images):
         name = f"img_{i:03d}.jpg"
-        arr = (rs.rand(size, size, 3) * 255).astype(np.uint8)
-        Image.fromarray(arr).save(os.path.join(img_dir, name))
+        if paint:
+            arr = (rs.rand(size, size, 3) * 40 + 100).astype(np.uint8)
+        else:
+            arr = (rs.rand(size, size, 3) * 255).astype(np.uint8)
         images.append({"id": i + 1, "file_name": name,
                        "height": size, "width": size})
         # one class-16 object everywhere; class-1 object on even images
@@ -86,13 +102,20 @@ def _write_fake_voc(root, n_images=6, size=48, rich=False, wrap=False):
         else:
             cats = [16] + ([1] if i % 2 == 0 else [])
         x0 = 4 + ((3 * i) % max(size - 28, 1) if wrap else 3 * i)
-        for c in cats:
-            poly = [x0, 4, x0 + 16, 4, x0 + 16, 20 + c % 7, x0, 20 + c % 7]
+        for k, c in enumerate(cats):
+            y0 = (size // 2 + 2) if (paint and k == 1) else 4
+            y1 = y0 + 16 + c % 7
+            poly = [x0, y0, x0 + 16, y0, x0 + 16, y1, x0, y1]
             annotations.append({
                 "id": ann_id, "image_id": i + 1, "category_id": c,
                 "segmentation": [poly], "iscrowd": 0,
-                "bbox": [x0, 4, 16, 16 + c % 7], "area": 16 * (16 + c % 7)})
+                "bbox": [x0, y0, 16, 16 + c % 7], "area": 16 * (16 + c % 7)})
             ann_id += 1
+            if paint:
+                block = (_palette(c)[None, None, :].astype(np.int32)
+                         + rs.randint(-12, 13, (y1 - y0, 16, 3)))
+                arr[y0:y1, x0:x0 + 16] = np.clip(block, 0, 255)
+        Image.fromarray(arr).save(os.path.join(img_dir, name))
     body = {"images": images, "annotations": annotations,
             "categories": [{"id": c, "name": str(c)} for c in range(1, 21)]}
     for split in ("train", "val"):
