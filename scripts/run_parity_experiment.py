@@ -31,6 +31,10 @@ def run_reference(root, a, seed):
            "--root", root, "--stage", "all", "--epochs", str(a.epochs),
            "--size", str(a.size), "--images", str(a.images),
            "--batch", str(a.batch), "--seed", str(seed), "--wrap"]
+    if a.stage != "all":
+        cmd[cmd.index("--stage") + 1] = a.stage
+    if a.paint:
+        cmd.append("--paint")
     t0 = time.time()
     p = subprocess.run(cmd, capture_output=True, text=True,
                        timeout=a.timeout)
@@ -53,7 +57,12 @@ def run_rebuild(root, a, seed):
                                         "run_rebuild_fixture.py"),
            "--root", root, "--stage", "all", "--epochs", str(a.epochs),
            "--size", str(a.size), "--batch", str(a.batch),
-           "--seed", str(seed), "--torch_init", "--platform", "cpu"]
+           "--seed", str(seed), "--torch_init",
+           "--platform", a.rb_platform, "--images", str(a.images), "--wrap"]
+    if a.stage != "all":
+        cmd[cmd.index("--stage") + 1] = a.stage
+    if a.paint:
+        cmd.append("--paint")
     t0 = time.time()
     p = subprocess.run(cmd, capture_output=True, text=True,
                        timeout=a.timeout)
@@ -82,6 +91,12 @@ def main():
     ap.add_argument("--timeout", type=int, default=4 * 3600)
     ap.add_argument("--out", default="logs/parity_r4.json")
     ap.add_argument("--skip_reference", action="store_true")
+    ap.add_argument("--stage", default="all",
+                    choices=["step0", "phase1", "phase2", "all"])
+    ap.add_argument("--paint", action="store_true",
+                    help="learnable painted fixture (see tests/test_data)")
+    ap.add_argument("--rb_platform", default="cpu",
+                    help="rebuild platform (cpu, or empty for session TPU)")
     a = ap.parse_args()
 
     results = {"config": vars(a)}
@@ -102,7 +117,7 @@ def main():
             sys.path.insert(0, REPO)
             from tests.test_data import _write_fake_voc
             _write_fake_voc(fixture, n_images=a.images, size=a.size,
-                            rich=True, wrap=True)
+                            rich=True, wrap=True, paint=a.paint)
         print(f"=== rebuild seed {seed} ===", flush=True)
         results[f"rb_s{seed}"] = run_rebuild(rb_root, a, seed)
         print(json.dumps(results[f"rb_s{seed}"])[:600], flush=True)
