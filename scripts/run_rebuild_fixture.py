@@ -37,12 +37,16 @@ def _stage_args(stage, a, root):
         "--logdir", os.path.join(root, "rebuild_logs"),
         "--dtype", "float32", "--sample_num", "0",
         "--epochs", str(a.epochs),
+        # per-epoch orbax saves pull the full state off-device every epoch
+        # (~minutes per epoch through a TPU tunnel); the final epoch always
+        # saves, which is all the next stage needs
+        "--ckpt_interval", str(max(1, a.epochs // 3)),
     ]
     if a.torch_init:
         common += ["--torch_init", "true"]
     if stage == "step0":
         return common + ["--step", "0", "--name", "RB", "--bce", "true",
-                         "--optim", "adam", "--lr", "5e-5",
+                         "--optim", "adam", "--lr", a.lr0,
                          "--weight_decay", "0"]
     ckpt0 = os.path.join(root, "rebuild_ckpt", "step", "voc-15-5-ov", "RB_0")
     stage1 = ["--step", "1", "--weakly", "true", "--alpha", "0.5",
@@ -97,6 +101,8 @@ def main():
     ap.add_argument("--wrap", action="store_true")
     ap.add_argument("--paint", action="store_true",
                     help="learnable fixture: class-colored painted objects")
+    ap.add_argument("--lr0", default="5e-5",
+                    help="step-0 lr (mirror run_reference_fixture --lr0)")
     a = ap.parse_args()
 
     if a.platform:

@@ -200,7 +200,7 @@ def _stage_args(stage, a):
            f"--crop_size_val {a.size} --overlap --val_interval 100 " \
            f"--random_seed {a.seed} --logdir {a.root}/logs --sample_num 0"
     if stage == "step0":
-        return (f"--name REF --step 0 --bce --lr 5e-5 {task} "
+        return (f"--name REF --step 0 --bce --lr {a.lr0} {task} "
                 f"--epochs {a.epochs} --optim adam --weight_decay 0").split()
     ckpt0 = "checkpoints/step/voc-15-5-ov/REF_0.pth"
     if stage == "phase1":
@@ -229,6 +229,9 @@ def main():
                     help="on-image object positions for large fixtures")
     ap.add_argument("--paint", action="store_true",
                     help="learnable fixture: class-colored painted objects")
+    ap.add_argument("--lr0", default="5e-5",
+                    help="step-0 lr (5e-5 is the recipe; the 64^2 painted "
+                         "fixture needs 3e-4 to fit from scratch)")
     a = ap.parse_args()
 
     os.makedirs(a.root, exist_ok=True)

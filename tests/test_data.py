@@ -101,20 +101,25 @@ def _write_fake_voc(root, n_images=6, size=48, rich=False, wrap=False,
             cats = [16 + i % 5, (i % 15) + 1]
         else:
             cats = [16] + ([1] if i % 2 == 0 else [])
-        x0 = 4 + ((3 * i) % max(size - 28, 1) if wrap else 3 * i)
+        # paint mode scales objects with the canvas (an OS-16 backbone sees
+        # size/16 cells; fixed 16-px objects vanish at larger fixtures)
+        sc = max(1, size // 64) if paint else 1
+        ow = 16 * sc
+        x0 = 4 + ((3 * i) % max(size - 12 - ow, 1) if wrap else 3 * i)
         for k, c in enumerate(cats):
             y0 = (size // 2 + 2) if (paint and k == 1) else 4
-            y1 = y0 + 16 + c % 7
-            poly = [x0, y0, x0 + 16, y0, x0 + 16, y1, x0, y1]
+            oh = (16 + c % 7) * sc
+            y1 = y0 + oh
+            poly = [x0, y0, x0 + ow, y0, x0 + ow, y1, x0, y1]
             annotations.append({
                 "id": ann_id, "image_id": i + 1, "category_id": c,
                 "segmentation": [poly], "iscrowd": 0,
-                "bbox": [x0, y0, 16, 16 + c % 7], "area": 16 * (16 + c % 7)})
+                "bbox": [x0, y0, ow, oh], "area": ow * oh})
             ann_id += 1
             if paint:
                 block = (_palette(c)[None, None, :].astype(np.int32)
-                         + rs.randint(-12, 13, (y1 - y0, 16, 3)))
-                arr[y0:y1, x0:x0 + 16] = np.clip(block, 0, 255)
+                         + rs.randint(-12, 13, (oh, ow, 3)))
+                arr[y0:y1, x0:x0 + ow] = np.clip(block, 0, 255)
         Image.fromarray(arr).save(os.path.join(img_dir, name))
     body = {"images": images, "annotations": annotations,
             "categories": [{"id": c, "name": str(c)} for c in range(1, 21)]}
