@@ -174,10 +174,78 @@ def label_generation(seg_map: jnp.ndarray, inst_mask: jnp.ndarray,
     return center, offset, weight
 
 
+def batched_instance_stats(inst_masks: jnp.ndarray, seg_maps: jnp.ndarray,
+                           max_inst: int):
+    """Batched :func:`instance_stats` as lane-compare reduces (no scatters).
+
+    `segment_sum` lowers to serialized scatter custom-calls on TPU — the
+    round-4 step-0 device trace showed the four per-image scatters costing
+    ~15 ms/step at bs16 x 512^2. Instance ids are dense 1..K with K <= 50,
+    so per-slot sums are cheaper as a fused (B, HW, K) equality-broadcast
+    reduce: XLA recomputes `ids == k` in-register per reduction, nothing is
+    scattered or gathered. Sums accumulate in int32 — EXACT (unlike the
+    f32 scatter-adds), matching the reference's float64 numpy means
+    (``dataset/utils.py:299-350``) to f32-division rounding. Requires
+    H*W*max(H, W) < 2^31 (holds through 1024^2).
+
+    Returns count (B, K) f32, cy/cx (B, K) f32, cls (B, K) int32.
+    """
+    B, H, W = inst_masks.shape
+    valid = (inst_masks > 0) & (inst_masks != 255)
+    ids = jnp.where(valid, inst_masks, 0).astype(jnp.int32)
+    k = jnp.arange(1, max_inst + 1, dtype=jnp.int32)
+    eq = ids[..., None] == k                                   # (B, H, W, K)
+    ysi = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xsi = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    segv = jnp.where(valid, seg_maps, 0).astype(jnp.int32)
+    count = jnp.sum(eq, axis=(1, 2), dtype=jnp.int32)
+    sy = jnp.sum(jnp.where(eq, ysi[None, :, :, None], 0), axis=(1, 2))
+    sx = jnp.sum(jnp.where(eq, xsi[None, :, :, None], 0), axis=(1, 2))
+    cls = jnp.max(jnp.where(eq, segv[..., None], 0), axis=(1, 2)) - 1
+    den = jnp.maximum(count, 1).astype(jnp.float32)
+    cy = sy.astype(jnp.float32) / den
+    cx = sx.astype(jnp.float32) / den
+    return count.astype(jnp.float32), cy, cx, jnp.maximum(cls, 0)
+
+
 def batched_label_generation(seg_maps: jnp.ndarray, inst_masks: jnp.ndarray,
                              num_classes: int, sigma: int = 8,
                              max_inst: int = 50):
-    """vmap of `label_generation` over the batch axis."""
-    fn = partial(label_generation, num_classes=num_classes, sigma=sigma,
-                 max_inst=max_inst)
-    return jax.vmap(fn)(seg_maps, inst_masks)
+    """Batched `label_generation` (the step-0 train-step hot path).
+
+    Not a plain vmap: under vmap the per-slot dynamic_update_slice scan of
+    :func:`stamp_centers` lowers to a nested while-loop over the batch (the
+    same anti-pattern ops/pallas_stamp documents for phase-2, ~15 ms/step
+    here), and the per-pixel centroid gathers/scatters serialize. Instead:
+    slot stats come from :func:`batched_instance_stats` (fused equality
+    reduces), the gaussians from ops/pallas_stamp.stamp_centers_batched
+    (ONE kernel over the (B, C) grid; vmapped scan fallback off-TPU), and
+    the per-pixel centroid lookup is a one-hot select-sum instead of a
+    gather. Semantics match vmap(label_generation) to float tolerance
+    (tests/test_labelgen.py; the int32-exact sums round centroids one ulp
+    differently from the f32 scatter-adds) except for instance ids >
+    max_inst, whose offsets are 0-centroid instead of the gather-clamp's
+    last-slot centroid (ids must be dense 1..max_inst per the module
+    docstring).
+    """
+    from cl4wsis_tpu.ops.pallas_stamp import stamp_centers_batched
+
+    B, H, W = inst_masks.shape
+    inst_masks = inst_masks.astype(jnp.int32)
+    count, cy, cx, cls = batched_instance_stats(
+        inst_masks, seg_maps.astype(jnp.int32), max_inst)
+    center = stamp_centers_batched(count > 0, cy, cx, cls, num_classes,
+                                   sigma, (H, W))
+
+    valid = (inst_masks > 0) & (inst_masks != 255)
+    ids = jnp.where(valid, inst_masks, 0)
+    k = jnp.arange(1, max_inst + 1, dtype=jnp.int32)
+    eq = ids[..., None] == k                                   # (B, H, W, K)
+    cy_pl = jnp.sum(jnp.where(eq, cy[:, None, None, :], 0.0), axis=-1)
+    cx_pl = jnp.sum(jnp.where(eq, cx[:, None, None, :], 0.0), axis=-1)
+    ysf = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    xsf = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    vf = valid.astype(jnp.float32)
+    offset = jnp.stack([(cy_pl - ysf[None]) * vf,
+                        (cx_pl - xsf[None]) * vf], axis=-1)
+    return center, offset, vf[..., None]

@@ -87,6 +87,43 @@ def test_batched():
     np.testing.assert_allclose(np.asarray(c[0]), np.asarray(c[1]))
 
 
+def test_batched_matches_vmapped_oracle():
+    """The restructured batched path (lane-compare stats + batched stamp +
+    select-sum offsets) matches vmap(label_generation) (scatter stats +
+    per-sample windowed stamp + centroid gather) to float tolerance, on a
+    batch with DIFFERENT per-sample instances, empties, and ignore
+    pixels. Not bit-equal by design: the batched path's int32-exact
+    coordinate sums round centroids one ulp differently from the oracle's
+    f32 scatter-adds (the batched value is the more exact one), and the
+    gaussian exp magnifies that ulp into ~1e-11 absolute."""
+    import jax
+
+    seg0, inst0 = _fixture()
+    seg1 = np.zeros_like(seg0)
+    inst1 = np.zeros_like(inst0)
+    seg1[2:9, 30:44] = 1
+    inst1[2:9, 30:44] = 1
+    seg1[40:44, 0:3] = 2       # clips the stamp window at the corner
+    inst1[40:44, 0:3] = 2
+    seg1[41, 1] = 255          # ignore inside an instance
+    inst1[41, 1] = 255
+    seg2 = np.zeros_like(seg0)  # empty sample
+    inst2 = np.zeros_like(inst0)
+    segs = jnp.asarray(np.stack([seg0, seg1, seg2]))
+    insts = jnp.asarray(np.stack([inst0, inst1, inst2]))
+
+    c, o, w = batched_label_generation(segs, insts, num_classes=3, sigma=3,
+                                       max_inst=8)
+    fn = lambda s, i: label_generation(s, i, num_classes=3, sigma=3,
+                                       max_inst=8)
+    rc, ro, rw = jax.vmap(fn)(segs, insts)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(rc),
+                               rtol=1e-5, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(ro),
+                               rtol=1e-5, atol=1e-5)
+    assert np.array_equal(np.asarray(w), np.asarray(rw))
+
+
 def test_windowed_stamp_matches_scan_oracle():
     """stamp_centers (windowed DUS) is bit-equal to the full-plane scan
     oracle under jit, incl. corner centers, invalid slots, mixed classes."""
