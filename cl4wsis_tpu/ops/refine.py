@@ -99,8 +99,20 @@ def _global_center_slots(eff, roots, center_map, offset_map,
     roots_w = connected_components_multilabel(weak_eff, connectivity=4,
                                               num_iters=cc_iters)
     idx = jnp.arange(HW, dtype=jnp.int32)
-    skw, sidxw, sclsw = ss.sort_by(roots_w.reshape(-1), idx,
-                                   weak_eff.reshape(-1))
+    # components are class-pure, so the element's class can ride INSIDE
+    # the sort key (root*M + cls orders exactly like root): one less
+    # payload array through the HW sort — the single largest remaining
+    # factory op on the round-4 trace (s32[16, 262144] x 3 at 5.1
+    # ms/step). M is a power of two so unpacking is a shift/mask.
+    mult = 1 << int(num_classes).bit_length()      # M > num_classes >= cls
+    if HW * mult + num_classes < 2 ** 31:
+        packed = roots_w.reshape(-1) * mult + weak_eff.reshape(-1)
+        spacked, sidxw = ss.sort_by(packed, idx)
+        skw = spacked // mult
+        sclsw = spacked % mult
+    else:  # absurd plane sizes would overflow the packing: 3-array sort
+        skw, sidxw, sclsw = ss.sort_by(roots_w.reshape(-1), idx,
+                                       weak_eff.reshape(-1))
     startsw = ss.run_starts(skw)
     # fused Pallas run totals on TPU (see class_components note)
     from cl4wsis_tpu.ops.pallas_seg import run_totals1
