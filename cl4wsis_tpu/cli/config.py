@@ -168,8 +168,9 @@ class Config:
         if cfg.dataset == "coco-voc":
             cfg.backbone = "wider_resnet38_a2"
             cfg.output_stride = 8
-            cfg.crop_size = 448
-            cfg.crop_size_val = 512
+            if not cfg.tiny:  # --tiny (debug/CI only) keeps the user's crop
+                cfg.crop_size = 448
+                cfg.crop_size_val = 512
         cfg.branch = "none" if cfg.model == "DeeplabV3" else "ins"
         if cfg.phase == 1:
             cfg.branch = "none"

@@ -52,7 +52,8 @@ def build_data(cfg: Config):
                                        overlap=cfg.overlap,
                                        masking=not cfg.no_mask,
                                        pseudo=cfg.pseudo,
-                                       val_on_trainset=cfg.val_on_trainset)
+                                       val_on_trainset=cfg.val_on_trainset,
+                                       seed=cfg.seed)
     elif cfg.dataset == "coco-voc" and cfg.step > 0:
         # step 1 of coco-voc: VOC images, labels in the COCO id space
         # (reference VOCasCOCOSegmentationIncremental)
@@ -60,7 +61,8 @@ def build_data(cfg: Config):
         train, val = make_voc_datasets(cfg.data_root, step_dict, cfg.step,
                                        cfg.crop_size, cfg.crop_size_val,
                                        overlap=cfg.overlap,
-                                       masking=not cfg.no_mask, as_coco=True)
+                                       masking=not cfg.no_mask, as_coco=True,
+                                       seed=cfg.seed)
     elif cfg.dataset in ("coco", "coco-voc"):
         from cl4wsis_tpu.data.coco import make_coco_datasets
         # reference split-index files (dataset/__init__.py:57-70): the coco
@@ -71,7 +73,7 @@ def build_data(cfg: Config):
         indices = np.load(idx_path) if os.path.exists(idx_path) else None
         train, val = make_coco_datasets(cfg.data_root, step_dict, cfg.step,
                                         cfg.crop_size, cfg.crop_size_val,
-                                        train_indices=indices)
+                                        train_indices=indices, seed=cfg.seed)
     else:
         raise NotImplementedError(cfg.dataset)
     import jax

@@ -76,13 +76,14 @@ class COCODataset:
 def make_coco_datasets(data_root: str, step_dict: Dict[int, List[int]],
                        step: int, crop_size: int = 448,
                        crop_size_val: Optional[int] = 512,
-                       train_indices: Optional[np.ndarray] = None):
+                       train_indices: Optional[np.ndarray] = None,
+                       seed: int = 0):
     """Factory for coco / coco-voc step 0 (reference dataset/__init__.py)."""
     train_raw = COCODataset(data_root, train=True, indices=train_indices)
     val_raw = COCODataset(data_root, train=False)
     train = IncrementalInstanceDataset(
         train_raw, step_dict, step, train=True,
-        transform=train_transform(crop_size), masking=True)
+        transform=train_transform(crop_size), masking=True, seed=seed)
     val = IncrementalInstanceDataset(
         val_raw, step_dict, step, train=False,
         transform=val_transform(crop_size_val), masking=False)

@@ -67,6 +67,11 @@ class GrainLoader:
         return (len(self.dataset) // jax.process_count()) // self.batch_size
 
     def epoch(self, epoch: int) -> Iterator[Dict[str, Any]]:
+        set_epoch = getattr(self.dataset, "set_epoch", None)
+        if set_epoch is not None:
+            # before DataLoader construction so worker processes pickle the
+            # dataset with the epoch already set
+            set_epoch(epoch)
         loader = make_grain_loader(self.dataset, self.batch_size,
                                    seed=self.seed + epoch, num_epochs=1,
                                    num_workers=self.num_workers)

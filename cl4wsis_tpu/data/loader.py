@@ -47,6 +47,9 @@ class Loader:
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def epoch(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        set_epoch = getattr(self.dataset, "set_epoch", None)
+        if set_epoch is not None:
+            set_epoch(epoch)  # fresh per-epoch augmentation streams
         idxs = np.arange(len(self.dataset))
         if self.shuffle:
             rng = np.random.RandomState(self.seed + epoch)

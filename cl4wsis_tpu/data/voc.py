@@ -146,11 +146,13 @@ class IncrementalInstanceDataset:
 
     def __init__(self, dataset, step_dict: Dict[int, List[int]], step: int,
                  train: bool = True, transform: Optional[Compose] = None,
-                 masking: bool = True, masking_value: int = 0):
+                 masking: bool = True, masking_value: int = 0, seed: int = 0):
         self.dataset = dataset
         self.train = train
         self.transform = transform
         self.step = step
+        self.seed = seed
+        self._epoch = 0
 
         self.order = [c for s in sorted(step_dict) for c in step_dict[s]]
         if step > 0:
@@ -182,11 +184,21 @@ class IncrementalInstanceDataset:
     def __len__(self):
         return len(self.dataset)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Advance the augmentation RNG stream; loaders call this once per
+        epoch so every sample draws FRESH transforms each epoch (the
+        reference re-draws via torch's global RNG under the per-epoch
+        DataLoader, ``dataset/transform.py`` + ``run.py:72-77``)."""
+        self._epoch = int(epoch)
+
     def __getitem__(self, index: int):
         if self.train:
             img, seg, inst, l1h_raw, path = self.dataset[index]
             lbl = np.stack([seg, inst], axis=-1).astype(np.uint8)
-            rng = np.random.RandomState((hash(path) + index) % (2 ** 31))
+            # (seed, epoch, index)-keyed stream: fresh transforms every
+            # epoch, identical across runs/processes/PYTHONHASHSEED.
+            rng = np.random.RandomState(np.random.MT19937(
+                np.random.SeedSequence((self.seed, self._epoch, index))))
             if self.transform is not None:
                 img, lbl_pil = self.transform(img, Image.fromarray(lbl), rng)
                 lbl = np.asarray(lbl_pil)
@@ -225,7 +237,7 @@ def make_voc_datasets(data_root: str, step_dict: Dict[int, List[int]],
                       crop_size_val: Optional[int] = 512,
                       overlap: bool = True, masking: bool = True,
                       as_coco: bool = False, pseudo: Optional[str] = None,
-                      val_on_trainset: bool = False):
+                      val_on_trainset: bool = False, seed: int = 0):
     """Factory mirroring reference ``dataset/__init__.py:9-72`` for VOC
     (and coco-voc step 1 with as_coco=True). `val_on_trainset` evaluates on
     the train split (reference test_on_train protocol)."""
@@ -244,7 +256,7 @@ def make_voc_datasets(data_root: str, step_dict: Dict[int, List[int]],
         masking=False, as_coco=as_coco)
     train = IncrementalInstanceDataset(
         train_raw, step_dict, step, train=True,
-        transform=train_transform(crop_size), masking=masking)
+        transform=train_transform(crop_size), masking=masking, seed=seed)
     val = IncrementalInstanceDataset(
         val_raw, step_dict, step, train=False,
         transform=val_transform(crop_size_val), masking=False)

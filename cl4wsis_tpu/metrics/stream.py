@@ -38,21 +38,25 @@ class StreamSegMetrics:
         mask = gt_sum != 0
         diag = np.diag(hist)
 
+        # reference semantics (metrics/stream_metrics.py:75-115): EPS-guarded
+        # ratios; Mean Acc / Mean IoU averaged over gt-present classes, Mean
+        # Precision averaged UNMASKED over ALL classes (a class never
+        # predicted contributes ~0).
+        EPS = 1e-6
         acc = diag.sum() / hist.sum() if hist.sum() > 0 else 0.0
-        acc_cls_c = np.where(mask, diag / np.maximum(gt_sum, 1), 0.0)
+        acc_cls_c = diag / (gt_sum + EPS)
         acc_cls = np.mean(acc_cls_c[mask]) if mask.any() else 0.0
-        precision_cls_c = np.where(hist.sum(axis=0) != 0,
-                                   diag / np.maximum(hist.sum(axis=0), 1), 0.0)
-        precision_cls = np.mean(precision_cls_c[hist.sum(axis=0) != 0]) \
-            if (hist.sum(axis=0) != 0).any() else 0.0
-        denom = gt_sum + hist.sum(axis=0) - diag
-        iu = np.where(denom > 0, diag / np.maximum(denom, 1), np.nan)
-        mean_iu = float(np.nanmean(iu[mask])) if mask.any() else 0.0
+        precision_cls_c = diag / (hist.sum(axis=0) + EPS)
+        precision_cls = np.mean(precision_cls_c)
+        iu = diag / (gt_sum + hist.sum(axis=0) - diag + EPS)
+        mean_iu = float(np.mean(iu[mask])) if mask.any() else 0.0
 
         cls_iu = {i: (float(iu[i]) if mask[i] else "X")
                   for i in range(self.n_classes)}
         cls_acc = {i: (float(acc_cls_c[i]) if mask[i] else "X")
                    for i in range(self.n_classes)}
+        cls_prec = {i: (float(precision_cls_c[i]) if mask[i] else "X")
+                    for i in range(self.n_classes)}
         return {
             "Total samples": self.total_samples,
             "Overall Acc": float(acc),
@@ -61,6 +65,8 @@ class StreamSegMetrics:
             "Mean IoU": mean_iu,
             "Class IoU": cls_iu,
             "Class Acc": cls_acc,
+            "Class Prec": cls_prec,
+            "Agg": [mean_iu, float(acc_cls), float(precision_cls)],
         }
 
     def synch(self):

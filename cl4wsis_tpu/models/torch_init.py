@@ -14,11 +14,14 @@ init family and loss curves compare directly:
 * default: kernel ~ U(+-1/sqrt(fan_in)), bias ~ U(+-1/sqrt(fan_in)) —
   torch's Conv2d/Linear default, used by the reference's backbone
   (``models/resnet.py`` — no explicit init), panoptic decoder + instance
-  head (``segmentation_module.py:290-338`` never calls ``_init_params``)
-  and classifier heads (``segmentation_module.py:322-325``);
+  head (``segmentation_module.py:290-338`` never calls ``_init_params``),
+  classifier heads (``segmentation_module.py:322-325``) AND the
+  PseudoLabeler (``wss/modules.py:322-333`` has no explicit init; the
+  kaiming_normal_ at ``wss/modules.py:172-177`` belongs to GCI, which
+  only ``wss/single_stage.py`` — a dormant path — uses);
 * ``he_normal_paths`` subtrees: kernel ~ N(0, sqrt(2/fan_in)) (torch
-  ``kaiming_normal_``), biases keep the torch default — the reference
-  applies this to the PseudoLabeler's convs (``wss/modules.py:172-177``);
+  ``kaiming_normal_``), biases keep the torch default — empty by default
+  on the CL4WSIS train path (``train.py:86`` builds no GCI);
 * ``skip_paths`` subtrees are left untouched — modules whose explicit flax
   init already matches the reference's explicit init (the DeeplabV3 head's
   xavier-normal, ``modules/deeplab.py:40-52``; the PeakGenerator's
@@ -35,7 +38,7 @@ from typing import Iterable, Tuple
 import jax
 import jax.numpy as jnp
 
-DEFAULT_HE_NORMAL = ("pseudolabeler",)
+DEFAULT_HE_NORMAL = ()
 DEFAULT_SKIP = ("seg_head", "extra_conv4")
 
 

@@ -102,7 +102,10 @@ def stamp_centers_batched_pallas(valid: jnp.ndarray, cy: jnp.ndarray,
     B, K = valid.shape
     r = 3 * sigma + 1
     win = 2 * r + 1
-    assert r <= 120 and win <= 248, (sigma, "window exceeds the rotate pad")
+    # the 256-lane cyclic roll places the template at lanes [dx, dx+win),
+    # dx up to 127 — any wider window wraps mass ~256 lanes left of the
+    # intended position. stamp_centers_batched falls back to XLA beyond it.
+    assert win + 127 <= 256, (sigma, "window exceeds the 256-lane rotate pad")
     row0 = _round_up(r, 8)
     col0 = 128  # >= r and a lane-aligned image origin for the output copy
     rows_w = _round_up(win + 8, 8)
@@ -156,8 +159,10 @@ def stamp_centers_batched(valid: jnp.ndarray, cy: jnp.ndarray,
     """Batched gaussian stamping: Pallas on TPU, vmapped XLA scan elsewhere.
 
     (B, K) slot arrays -> (B, H, W, num_classes), bit-equal between paths.
+    Windows wider than the kernel's 256-lane rotate pad (sigma > 21) take
+    the XLA path unconditionally.
     """
-    if available():
+    if available() and (2 * (3 * sigma + 1) + 1) + 127 <= 256:
         return stamp_centers_batched_pallas(valid, cy, cx, cls,
                                             num_classes, sigma, shape)
     from cl4wsis_tpu.ops.labelgen import stamp_centers

@@ -77,11 +77,14 @@ def _kernel(x_ref, vals_ref, idx_ref, buf, rowmax, *, K, R, KP):
         sel = (out_sub == 0) & (out_lane == t)
         vals_ref[:] = jnp.where(sel, gm, vals_ref[:])
         idx_ref[:] = jnp.where(sel, r * _ROWW + c, idx_ref[:])
-        # knock the winner out and refresh that row's cached max
+        # knock the winner out with NaN (never equal to any gm, including
+        # -inf, so extracted winners can't alias genuine -inf entries) and
+        # refresh that row's cached max over the non-knocked entries
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, _ROWW), 1)
-        row = jnp.where(lane == c, -jnp.inf, row)
+        row = jnp.where(lane == c, jnp.nan, row)
         buf[pl.ds(r, 1), :] = row
-        rowmax[:] = jnp.where(rm_lane == r, jnp.max(row), rowmax[:])
+        clean = jnp.where(row != row, -jnp.inf, row)
+        rowmax[:] = jnp.where(rm_lane == r, jnp.max(clean), rowmax[:])
         return 0
 
     jax.lax.fori_loop(0, K, step, 0)
@@ -91,11 +94,13 @@ def _kernel(x_ref, vals_ref, idx_ref, buf, rowmax, *, K, R, KP):
 def topk_pallas(x: jnp.ndarray, k: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact (values, indices) top-k along the last axis.
 
-    x: (B, N) float32, N a multiple of 1024. Matches jax.lax.top_k
-    (descending values, stable tie order by lower index).
+    x: (B, N) float32, N a multiple of 1024, NaN-free (-inf is fine; NaN is
+    the kernel's internal knockout sentinel). Matches jax.lax.top_k
+    (descending values, stable tie order by lower index). k < 1024 so no
+    VMEM row can be fully knocked out mid-extraction.
     """
     B, N = x.shape
-    assert N % _ROWW == 0 and k <= N
+    assert N % _ROWW == 0 and k <= N and k < _ROWW
     R = N // _ROWW
     KP = max(_LANES, ((k + _LANES - 1) // _LANES) * _LANES)
 

@@ -36,8 +36,8 @@ def topk_hier(x: jnp.ndarray, k: int, chunk: int = 1024):
     # TPU: iterative VMEM extraction instead of chunked sorts (the two
     # factory top-k calls still cost ~5 ms/step each as [*, 256, 1024]
     # stable sorts + staging copies on the round-4 phase-2 trace). The
-    # kernel requires finite inputs (both call sites use finite sentinels)
-    # and k small enough to win — peaks are k << N.
+    # kernel handles -inf entries exactly (NaN knockout sentinel) but
+    # requires NaN-free input; k small enough to win — peaks are k << N.
     from cl4wsis_tpu.ops import pallas_topk
     if (pallas_topk.available() and n % 1024 == 0 and k <= 128
             and jnp.issubdtype(x.dtype, jnp.floating)):

@@ -120,3 +120,48 @@ def test_pallas_topk_matches_lax_topk():
         gv, gi = ptk.topk_pallas(xv, k)
         np.testing.assert_array_equal(np.asarray(gv), np.asarray(wv))
         np.testing.assert_array_equal(np.asarray(gi), np.asarray(wi))
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu", reason="TPU-only kernel")
+def test_pallas_topk_neg_inf_rows():
+    """Round-5 ADVICE fix: rows with -inf entries and FEWER than k finite
+    values must match jax.lax.top_k (the old -inf knockout made extracted
+    winners indistinguishable from genuine -inf, duplicating indices)."""
+    import cl4wsis_tpu.ops.pallas_topk as ptk
+
+    rs = np.random.RandomState(3)
+    B, N, k = 3, 4096, 9
+    x = np.full((B, N), -np.inf, np.float32)
+    x[0, [5, 99, 1033]] = [0.5, 0.9, 0.7]       # 3 finite < k
+    x[1] = rs.rand(N)                            # all finite
+    # row 2: all -inf -> top_k returns -inf at indices 0..k-1
+    xv = jnp.asarray(x)
+    wv, wi = jax.lax.top_k(xv, k)
+    gv, gi = ptk.topk_pallas(xv, k)
+    np.testing.assert_array_equal(np.asarray(gv), np.asarray(wv))
+    np.testing.assert_array_equal(np.asarray(gi), np.asarray(wi))
+
+
+def test_stamp_large_sigma_dispatches_to_xla():
+    """sigma > 21 exceeds the Pallas 256-lane rotate pad: the public entry
+    must fall back to the vmapped XLA scan (and not trip the kernel assert).
+    Runs on any backend; on TPU it exercises the real dispatch."""
+    from functools import partial
+
+    from cl4wsis_tpu.ops.labelgen import stamp_centers
+    from cl4wsis_tpu.ops.pallas_stamp import stamp_centers_batched
+
+    sigma, H, C, K, B = 22, 256, 2, 4, 1
+    rs = np.random.RandomState(22)
+    cy = rs.uniform(0, H, (B, K)).astype(np.float32)
+    cx = rs.uniform(0, H, (B, K)).astype(np.float32)
+    cls = rs.randint(0, C, (B, K)).astype(np.int32)
+    valid = np.ones((B, K), bool)
+    got = np.asarray(stamp_centers_batched(
+        jnp.asarray(valid), jnp.asarray(cy), jnp.asarray(cx),
+        jnp.asarray(cls), num_classes=C, sigma=sigma, shape=(H, H)))
+    want = np.asarray(jax.vmap(partial(
+        stamp_centers, num_classes=C, sigma=sigma, shape=(H, H)))(
+        jnp.asarray(valid), jnp.asarray(cy), jnp.asarray(cx),
+        jnp.asarray(cls)))
+    np.testing.assert_array_equal(got, want)

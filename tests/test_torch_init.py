@@ -43,13 +43,27 @@ def test_he_normal_paths_match_torch_kaiming_normal():
     cin, cout, k = 256, 256, 3
     w = torch.empty(cout, cin, k, k)
     torch.nn.init.kaiming_normal_(w)
-    params = {"pseudolabeler": {"conv1": {"kernel":
-                                          jnp.zeros((k, k, cin, cout))}}}
-    out = torch_family_init(params, jax.random.PRNGKey(1))
-    _, s_ours, _ = _moments(out["pseudolabeler"]["conv1"]["kernel"])
+    params = {"gci": {"conv1": {"kernel": jnp.zeros((k, k, cin, cout))}}}
+    out = torch_family_init(params, jax.random.PRNGKey(1),
+                            he_normal_paths=("gci",))
+    _, s_ours, _ = _moments(out["gci"]["conv1"]["kernel"])
     _, s_torch, _ = _moments(w.numpy())
     np.testing.assert_allclose(s_ours, s_torch, rtol=0.02)
     np.testing.assert_allclose(s_ours, np.sqrt(2.0 / (k * k * cin)), rtol=0.02)
+
+
+def test_pseudolabeler_gets_torch_default_family():
+    """Round-5 ADVICE fix: the reference PseudoLabeler (wss/modules.py:322-333)
+    has NO explicit init — torch's default kaiming-uniform(a=sqrt(5)) — so by
+    default its convs must be U(+-1/sqrt(fan_in)), not kaiming-normal."""
+    cin, cout, k = 256, 64, 3
+    params = {"pseudolabeler": {"conv1": {"kernel":
+                                          jnp.zeros((k, k, cin, cout))}}}
+    out = torch_family_init(params, jax.random.PRNGKey(3))
+    kern = np.asarray(out["pseudolabeler"]["conv1"]["kernel"], np.float64)
+    bound = 1.0 / np.sqrt(k * k * cin)
+    assert np.abs(kern).max() <= bound + 1e-7  # uniform family, not normal
+    np.testing.assert_allclose(kern.std(), bound / np.sqrt(3), rtol=0.03)
 
 
 def test_skip_paths_and_non_kernel_leaves_untouched():
