@@ -133,12 +133,16 @@ def bench_step0(batch_size: int = 16, size: int = 512, steps: int = 20,
 
 
 def bench_phase1(batch_size: int = 16, size: int = 512, steps: int = 20,
-                 n_batches: int = 4):
+                 n_batches: int = 4, backbone: str = "resnet101",
+                 output_stride: int = 16, old: int = 16, new: int = 5,
+                 tag: str = "phase1", desc: str = None):
     """Phase-1 CL-WSSS step at the VOC 15-5 recipe shape: dual backbones,
     3B flac pseudolabeler passes, PAMR affinity, pseudo-GT losses, randrop —
     the post-warmup (use_pseudo) program, which is the heavier one
     (reference train.py:303-416). Completes the 3-stage throughput story
-    next to bench_step0 / bench_phase2 / bench_coco_wrn."""
+    next to bench_step0 / bench_phase2 / bench_coco_wrn.
+    backbone/output_stride/old/new parameterize the COCO-to-VOC recipe
+    (WRN-38-A2, OS8, 448^2, 61 old + 20 new; scripts/coco.sh:20-21)."""
     import time
 
     import jax
@@ -153,12 +157,14 @@ def bench_phase1(batch_size: int = 16, size: int = 512, steps: int = 20,
     from cl4wsis_tpu.train.trainer import TrainState
     from cl4wsis_tpu.wss import PeakGenerator, PseudoLabeler
 
-    OLD, NEW = 16, 5
+    OLD, NEW = old, new
     TOT = OLD + NEW
     dtype = jnp.bfloat16
     model = make_model(classes=(OLD, NEW), crop_size=size, branch="none",
+                       backbone=backbone, output_stride=output_stride,
                        dtype=dtype)
     model_old = make_model(classes=(OLD,), crop_size=size, branch="none",
+                           backbone=backbone, output_stride=output_stride,
                            dtype=dtype)
     pl_mod = PseudoLabeler(num_classes=TOT, dtype=dtype)
     pg_mod = PeakGenerator(num_classes=TOT - 1, old_classes=OLD - 1,
@@ -168,9 +174,10 @@ def bench_phase1(batch_size: int = 16, size: int = 512, steps: int = 20,
     mv = jax.jit(lambda: model.init(jax.random.PRNGKey(0), x, train=False))()
     ov = jax.jit(lambda: model_old.init(jax.random.PRNGKey(0), x,
                                         train=False))()
-    fs = size // 16
+    fs = size // output_stride
+    feat_ch = 4096 if "wider" in backbone else 2048
     plv = pl_mod.init(jax.random.PRNGKey(1),
-                      jnp.zeros((1, fs, fs, 2048), dtype), train=False)
+                      jnp.zeros((1, fs, fs, feat_ch), dtype), train=False)
     pgv = pg_mod.init(jax.random.PRNGKey(2),
                       jnp.zeros((1, fs, fs, TOT), dtype), train=True)
 
@@ -208,8 +215,9 @@ def bench_phase1(batch_size: int = 16, size: int = 512, steps: int = 20,
                         jax.random.fold_in(rng, i))
     jax.block_until_ready(m["loss"])
     dt = time.perf_counter() - t0
-    out = {"img_s": batch_size * steps / dt, "tag": "phase1",
-           "desc": f"VOC-15-5 phase-1 CL-WSSS, {size}^2 bs{batch_size} bf16",
+    out = {"img_s": batch_size * steps / dt, "tag": tag,
+           "desc": desc or (f"VOC-15-5 phase-1 CL-WSSS, {size}^2 "
+                            f"bs{batch_size} bf16"),
            "flops_per_step": flops, "batch_size": batch_size,
            "steps": steps, "dt": dt}
     try:
@@ -425,12 +433,25 @@ def main():
         pass  # cache is an optimization only
 
     which = os.environ.get("CL4WSIS_BENCH", "phase2")
+    # the COCO-to-VOC recipe shape (reference scripts/coco.sh): WRN-38-A2,
+    # OS8, 448^2, global batch 16; CL step has 61 old / 20 new classes
+    coco_kw = dict(size=448, backbone="wider_resnet38_a2", output_stride=8,
+                   old=61, new=20)
     if which == "step0":
         r = bench_step0()
     elif which == "phase1":
         r = bench_phase1()
     elif which == "coco_wrn":
         r = bench_coco_wrn()
+    elif which == "coco_p1":
+        r = bench_phase1(tag="coco_phase1",
+                         desc="COCO-to-VOC phase-1, WRN-38 OS8 448^2 bs16 bf16",
+                         **coco_kw)
+    elif which == "coco_p2":
+        from cl4wsis_tpu.train.phase2 import bench_phase2
+        r = bench_phase2(tag="coco_phase2",
+                         desc="COCO-to-VOC phase-2, WRN-38 OS8 448^2 bs16 bf16",
+                         **coco_kw)
     elif which == "host":
         r = bench_host(num_workers=int(os.environ.get("CL4WSIS_WORKERS", "4")))
     else:

@@ -137,6 +137,16 @@ def main(argv: Optional[list] = None) -> int:
     canary = jax.random.randint(jax.random.PRNGKey(cfg.seed), (4,), 0, 1000)
     logger.info(f"[canary] {np.asarray(canary).tolist()}")
 
+    def _local_vars(tree):
+        # Validation is data-parallel over PROCESSES (each rank evaluates
+        # its strided shard, accumulators merge in synch()): the eval jit
+        # must be a process-local program, so when the train state lives on
+        # a multi-process mesh, pull the (replicated) variables to host and
+        # commit them to this process's local device.
+        if jax.process_count() > 1:
+            return jax.device_put(jax.device_get(tree))
+        return tree
+
     def run_validation(tag: str):
         if val is None:
             return
@@ -147,7 +157,7 @@ def main(argv: Optional[list] = None) -> int:
             from cl4wsis_tpu.ops.resize import resize_bilinear
             from cl4wsis_tpu.train.eval import validate_semseg
 
-            mv = trainer.model_variables()
+            mv = _local_vars(trainer.model_variables())
 
             @jax.jit
             def classify_seg(image):
@@ -174,8 +184,8 @@ def main(argv: Optional[list] = None) -> int:
             from cl4wsis_tpu.ops.resize import resize_bilinear
             from cl4wsis_tpu.train.eval import validate_semseg
 
-            mv = trainer.model_variables()
-            plv = trainer.pseudolabeler_variables()
+            mv = _local_vars(trainer.model_variables())
+            plv = _local_vars(trainer.pseudolabeler_variables())
 
             @jax.jit
             def classify(image):
@@ -199,7 +209,8 @@ def main(argv: Optional[list] = None) -> int:
             from cl4wsis_tpu.data.loader import eval_samples
             from cl4wsis_tpu.train.eval import (make_eval_forward,
                                                 validate_instances)
-            fwd = make_eval_forward(trainer.model, trainer.model_variables(),
+            fwd = make_eval_forward(trainer.model,
+                                    _local_vars(trainer.model_variables()),
                                     trainer.tot_classes - 1,
                                     val_flip=cfg.val_flip,
                                     val_thresh=cfg.val_thresh,

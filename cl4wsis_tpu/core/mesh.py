@@ -39,12 +39,29 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh, axis_name: str = DATA_AXIS) -> Any:
-    """Device-put a host batch pytree with the leading axis sharded over `mesh`."""
+    """Device-put a host batch pytree with the leading axis sharded over `mesh`.
+
+    Multi-process: each process passes its LOCAL shard (what its Loader
+    yielded); the global batch is their concatenation over the process-ordered
+    mesh (``jax.make_array_from_process_local_data``) — the SPMD equivalent of
+    the reference's per-rank DataLoader batches (``run.py:72-77``)."""
     sharding = batch_sharding(mesh, axis_name)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), batch)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
-    """Device-put a pytree fully replicated over `mesh` (params, opt state)."""
+    """Device-put a pytree fully replicated over `mesh` (params, opt state).
+
+    Multi-process: every process holds the identical full value (same-seed
+    init or a checkpoint read from shared storage), so the replicated global
+    array is assembled from process-local data."""
     sharding = replicated_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), tree)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)

@@ -278,9 +278,13 @@ def _deep_merge(base, update):
 
 
 def bench_phase2(batch_size: int = 16, size: int = 512, steps: int = 20,
-                 n_batches: int = 4):
+                 n_batches: int = 4, backbone: str = "resnet101",
+                 output_stride: int = 16, old: int = 16, new: int = 5,
+                 tag: str = "phase2", desc: str = None):
     """Throughput bench for the BASELINE.md north-star config (VOC 15-5
-    phase-2 shaped).
+    phase-2 shaped by default; backbone/output_stride/old/new parameterize
+    the COCO-to-VOC recipe: WRN-38-A2, OS8, 448^2, 61 old + 20 new —
+    reference scripts/coco.sh:26-28).
 
     Streams ``n_batches`` DISTINCT pre-transferred batches round-robin (no
     single cached-batch artifact) and reports the XLA-compiled program's own
@@ -306,12 +310,14 @@ def bench_phase2(batch_size: int = 16, size: int = 512, steps: int = 20,
               file=sys.stderr, flush=True)
 
     steps = int(os.environ.get("CL4WSIS_BENCH_STEPS", steps))
-    OLD, NEW = 16, 5
+    OLD, NEW = old, new
     TOT = OLD + NEW
     dtype = jnp.bfloat16
     model = make_model(classes=(OLD, NEW), crop_size=size, branch="ins",
+                       backbone=backbone, output_stride=output_stride,
                        detach_instance=True, dtype=dtype)
     model_old = make_model(classes=(OLD,), crop_size=size, branch="ins",
+                           backbone=backbone, output_stride=output_stride,
                            dtype=dtype)
     pl_mod = PseudoLabeler(num_classes=TOT, dtype=dtype)
     pg_mod = PeakGenerator(num_classes=TOT - 1, old_classes=OLD - 1, dtype=dtype)
@@ -320,9 +326,10 @@ def bench_phase2(batch_size: int = 16, size: int = 512, steps: int = 20,
     beat("initializing models")
     mv = jax.jit(lambda: model.init(jax.random.PRNGKey(0), x, train=False))()
     ov = jax.jit(lambda: model_old.init(jax.random.PRNGKey(0), x, train=False))()
-    fs = size // 16
+    fs = size // output_stride
+    feat_ch = 4096 if "wider" in backbone else 2048
     plv = pl_mod.init(jax.random.PRNGKey(1),
-                      jnp.zeros((1, fs, fs, 2048), dtype), train=False)
+                      jnp.zeros((1, fs, fs, feat_ch), dtype), train=False)
     pgv = pg_mod.init(jax.random.PRNGKey(2),
                       jnp.zeros((1, fs, fs, TOT), dtype), train=True)
     aux_vars = {"pseudolabeler": plv, "peakgenerator": pgv}
@@ -368,9 +375,11 @@ def bench_phase2(batch_size: int = 16, size: int = 512, steps: int = 20,
                             jax.random.fold_in(rng, i))
         jax.block_until_ready(m["loss"])
         dt = time.perf_counter() - t0
-    out = {"img_s": batch_size * steps / dt, "tag": "phase2",
+    out = {"img_s": batch_size * steps / dt, "tag": tag,
            "flops_per_step": flops, "batch_size": batch_size,
            "steps": steps, "dt": dt}
+    if desc:
+        out["desc"] = desc
 
     # device-time ground truth by default: the remote-TPU tunnel acks
     # block_until_ready before the device finishes, so the wall clock above

@@ -337,10 +337,18 @@ class Trainer:
         return None
 
     def save(self, path: str, epoch: int):
-        tree = {"state": jax.device_get(self.state),
-                "aux_vars": jax.device_get(self.aux_vars),
-                "epoch": epoch}
-        save_checkpoint(path, tree)
+        """Rank-0 writes (state is replicated, so rank 0 holds everything —
+        the reference's ``if rank == 0: save_ckpt`` in run.py:122-130); other
+        processes wait at a barrier so a subsequent load never races a
+        half-written checkpoint."""
+        if jax.process_index() == 0:
+            tree = {"state": jax.device_get(self.state),
+                    "aux_vars": jax.device_get(self.aux_vars),
+                    "epoch": epoch}
+            save_checkpoint(path, tree)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices(f"ckpt_saved_{epoch}")
 
     def load_resume(self, path: str) -> int:
         blob = load_checkpoint(path)
