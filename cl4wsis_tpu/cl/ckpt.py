@@ -154,6 +154,8 @@ def convert_torch_resnet(state_dict: Dict[str, "np.ndarray"],
                 put(params, (flax_mod, "kernel"), val.transpose(2, 3, 1, 0))
             else:
                 _put_bn(params, stats, (flax_mod,), parts[2], val, abs_bn_weight)
+        elif parts[0] == "bn_out":  # wide_resnet top-level output norm
+            _put_bn(params, stats, ("bn_out",), parts[1], val, abs_bn_weight)
         else:
             mod, block = parts[0], parts[1]
             base = f"{mod}_{block}"

@@ -4,7 +4,7 @@ end-to-end — sharded Loader -> jitted step on the global mesh -> rank-0
 checkpoint -> resume -> sharded eval merge (the reference's N-process DDP
 launch, run.py:38-77, as one SPMD program per host).
 
-argv: coordinator nprocs rank data_root workdir out_json
+argv: coordinator nprocs rank local_devices data_root workdir out_json
 """
 
 import json
@@ -13,16 +13,17 @@ import sys
 
 
 def main():
-    coordinator, nprocs, rank, data_root, workdir, out_json = sys.argv[1:7]
-    nprocs, rank = int(nprocs), int(rank)
+    (coordinator, nprocs, rank, local_devices,
+     data_root, workdir, out_json) = sys.argv[1:8]
+    nprocs, rank, local_devices = int(nprocs), int(rank), int(local_devices)
 
     import jax
     jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_num_cpu_devices", 2)   # 2 local x N procs global
+    jax.config.update("jax_num_cpu_devices", local_devices)
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=nprocs, process_id=rank)
     assert jax.process_count() == nprocs
-    assert len(jax.devices()) == 2 * nprocs
+    assert len(jax.devices()) == local_devices * nprocs
 
     # record every epoch's returned metrics without altering behavior
     from cl4wsis_tpu.train import trainer as trainer_mod
