@@ -337,15 +337,19 @@ class Trainer:
         return None
 
     def save(self, path: str, epoch: int):
-        """Rank-0 writes (state is replicated, so rank 0 holds everything —
-        the reference's ``if rank == 0: save_ckpt`` in run.py:122-130); other
-        processes wait at a barrier so a subsequent load never races a
-        half-written checkpoint."""
-        if jax.process_index() == 0:
-            tree = {"state": jax.device_get(self.state),
-                    "aux_vars": jax.device_get(self.aux_vars),
-                    "epoch": epoch}
-            save_checkpoint(path, tree)
+        """Every process enters the orbax save: in a multi-process runtime
+        ``Checkpointer.save`` is a COLLECTIVE (it runs internal
+        ``sync_global_processes`` barriers), and orbax writes host-local
+        numpy/replicated values from the primary host only — the moral
+        equivalent of the reference's ``if rank == 0: save_ckpt``
+        (run.py:122-130) with the barrier built in. Gating the call on
+        process 0 deadlocks/mismatches the other ranks' next collective
+        (found by tests/test_multihost_cli.py). The trailing barrier keeps a
+        subsequent load from racing a half-written checkpoint."""
+        tree = {"state": jax.device_get(self.state),
+                "aux_vars": jax.device_get(self.aux_vars),
+                "epoch": epoch}
+        save_checkpoint(path, tree)
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
             multihost_utils.sync_global_devices(f"ckpt_saved_{epoch}")
