@@ -221,17 +221,19 @@ def main(argv: Optional[list] = None) -> int:
                 # save sample prediction visualizations (reference
                 # --sample_num wandb images)
                 import jax.numpy as jnp
-                from cl4wsis_tpu.utils.visualize import (Label2Color, denorm,
-                                                         voc_cmap)
-                l2c = Label2Color(voc_cmap())
+                from cl4wsis_tpu.utils.visualize import (denorm,
+                                                         label_to_color_image)
                 for i in range(min(cfg.sample_num, len(val))):
                     s = val[i]
                     out = fwd(jnp.asarray(s["image"]), s["gt_masks"].shape[1:])
                     ins = np.asarray(out["ins_map"])
                     img = np.clip(denorm(s["image"][0]), 0, 1)
+                    # instance ids through the reference's 73-color table
+                    # (train.py:32 label_to_color_image), background black
+                    ins_rgb = (label_to_color_image(ins + 1) * 255
+                               * (ins >= 0)[..., None])
                     vis = np.concatenate(
-                        [(img * 255).astype(np.uint8),
-                         l2c(ins % 255 + 1) * (ins >= 0)[..., None]], axis=1)
+                        [(img * 255).astype(np.uint8), ins_rgb], axis=1)
                     logger.add_image(f"{tag}/sample", vis.astype(np.uint8), i)
             res = validate_instances(
                 fwd, eval_samples(val, jax.process_index(),

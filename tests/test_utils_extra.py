@@ -65,3 +65,43 @@ def test_logger_table_and_figure(tmp_path):
     lg.add_figure("val/confusion", fig, step=1)
     assert os.path.exists(str(tmp_path / "figures" / "val_confusion_1.png"))
     lg.close()
+
+
+def test_full_colormap_surface_matches_reference_tables():
+    """ade_cmap/_COLORS are transcriptions of the reference's published
+    palette tables (utils/utils.py:78-239, 280-357); when the reference
+    tree is present, compare bit-for-bit."""
+    import os
+    import re
+
+    from cl4wsis_tpu.utils import visualize as V
+
+    ade = V.ade_cmap()
+    assert ade.shape == (256, 3) and ade.dtype == np.uint8
+    assert (ade[0] == 0).all() and (ade[151:] == 0).all()
+    assert V._COLORS.shape == (73, 3)
+    assert V._COLORS.min() >= 0.0 and V._COLORS.max() <= 1.0
+
+    out = V.label_to_color_image(np.array([[0, 1], [72, 73]]))
+    assert out.shape == (2, 2, 3)
+    assert np.allclose(out[1, 1], V._COLORS[0])  # wraps mod 73
+
+    assert V.color_map("voc").shape == (256, 3)
+    assert (V.color_map("coco-voc") == ade).all()
+    assert V.color_map("cityscapes").shape == (20, 3)
+
+    den = V.Denormalize((0.5, 0.5, 0.5), (0.2, 0.2, 0.2))
+    x = np.full((2, 2, 3), -2.5, np.float32)
+    assert np.allclose(den(x), 0.0)
+
+    ref = "/root/reference/utils/utils.py"
+    if os.path.exists(ref):
+        src = open(ref).read()
+        seg = src[src.index("def ade_cmap"):src.index("def voc_cmap")]
+        rows = np.array(re.findall(r"\[\s*(\d+),\s*(\d+),\s*(\d+)\]", seg),
+                        np.uint8)
+        assert (ade[:151] == rows).all()
+        seg = src[src.index("_COLORS"):src.index("def label_to_color_image")]
+        vals = np.array(re.findall(r"(\d\.\d+)", seg),
+                        np.float32).reshape(-1, 3)
+        assert np.abs(V._COLORS - vals).max() < 1e-6
