@@ -180,6 +180,67 @@ def assign_pixels_roottable(ctr_y: jnp.ndarray, ctr_x: jnp.ndarray,
     return jnp.where(has, best, S).astype(jnp.int32).reshape(H, W)
 
 
+@partial(jax.jit, static_argnames=("num_classes", "max_ctr", "max_cluster"))
+def assign_pixels_classbanks(ctr_y: jnp.ndarray, ctr_x: jnp.ndarray,
+                             ctr_valid: jnp.ndarray, ctr_root: jnp.ndarray,
+                             offsets: jnp.ndarray, pixel_root: jnp.ndarray,
+                             px_cls: jnp.ndarray, *, num_classes: int,
+                             max_ctr: int, max_cluster: int) -> jnp.ndarray:
+    """assign_pixels over each pixel's OWN class bank only — (HW, K) lanes
+    instead of (HW, S=C*K).
+
+    Exact equivalence to the full lane reduce rests on root purity: a VALID
+    slot's root always belongs to a component of the slot's own class (NMS
+    peaks live inside the class fg mask; cluster slots are gated by
+    ``ch_at > 0.05``, i.e. their centroid lies inside the class fg —
+    ops/refine.py:163), and a pixel's root is its own class's component, so
+    cross-class (pixel, slot) pairs are root-rejected by construction. The
+    per-pixel bank rows are fetched with one-hot MATMULS on the MXU at
+    HIGHEST precision (inputs stay f32; one nonzero term per row, and every
+    value — coords < 4096, roots <= HW+1 — is f32-exact below 2^24), not
+    per-pixel gathers (~3 GB/s on the round-3 trace).
+
+    Expects the `_global_center_slots` layout: slots = [NMS block (C,
+    max_ctr) class-major | cluster block (C, max_cluster) class-major].
+    `px_cls` is each pixel's 0-based bank index (active-range class).
+    Tie-break matches the lane argmin: lowest k in the bank = lowest global
+    slot id within the only class that can win.
+    """
+    C, mc, mcl = num_classes, max_ctr, max_cluster
+    S = C * (mc + mcl)
+    H, W = pixel_root.shape
+    if H * W + 2 > 1 << 24:  # f32-exactness bound on the root compare
+        return assign_pixels_lanes(ctr_y, ctr_x, ctr_valid, ctr_root,
+                                   offsets, pixel_root)
+
+    def bank(a):
+        return jnp.concatenate([a[:C * mc].reshape(C, mc),
+                                a[C * mc:].reshape(C, mcl)], axis=1)
+
+    banks = jnp.stack([bank(ctr_y.astype(jnp.float32)),
+                       bank(ctr_x.astype(jnp.float32)),
+                       bank(ctr_valid.astype(jnp.float32)),
+                       bank(ctr_root.astype(jnp.float32))])   # (4, C, K)
+    onehot = (px_cls.reshape(-1)[:, None] ==
+              jnp.arange(C)[None, :]).astype(jnp.float32)     # (HW, C)
+    rows = jnp.einsum("pc,fck->fpk", onehot, banks,
+                      precision=jax.lax.Precision.HIGHEST)
+    cy, cx, cv, cr = rows
+
+    ys = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    loc_y = (ys + offsets[..., 0]).reshape(-1)
+    loc_x = (xs + offsets[..., 1]).reshape(-1)
+    proot = pixel_root.reshape(-1).astype(jnp.float32)
+    d = jnp.square(loc_y[:, None] - cy) + jnp.square(loc_x[:, None] - cx)
+    d = jnp.where((cv > 0.5) & (cr == proot[:, None]), d, jnp.inf)
+    k = jnp.argmin(d, axis=1).astype(jnp.int32)
+    has = jnp.isfinite(jnp.min(d, axis=1))
+    pc = px_cls.reshape(-1).astype(jnp.int32)
+    gid = jnp.where(k < mc, pc * mc + k, C * mc + pc * mcl + (k - mc))
+    return jnp.where(has, gid, S).reshape(H, W)
+
+
 def assign_pixels(ctr_y: jnp.ndarray, ctr_x: jnp.ndarray, ctr_valid: jnp.ndarray,
                   ctr_root: jnp.ndarray, offsets: jnp.ndarray,
                   pixel_root: jnp.ndarray) -> jnp.ndarray:

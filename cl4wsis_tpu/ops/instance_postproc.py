@@ -20,6 +20,7 @@ slot array — a single root-gated assignment IS the instance id map.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Dict
 
@@ -27,8 +28,9 @@ import jax
 import jax.numpy as jnp
 
 from cl4wsis_tpu.ops.cc import connected_components_multilabel
-from cl4wsis_tpu.ops.grouping import assign_pixels
-from cl4wsis_tpu.ops.refine import _global_center_slots, _slot_stats
+from cl4wsis_tpu.ops.grouping import assign_pixels, assign_pixels_classbanks
+from cl4wsis_tpu.ops.refine import (_global_center_slots, _slot_stats,
+                                    _slot_stats_sorted)
 
 
 @partial(jax.jit, static_argnames=(
@@ -71,9 +73,26 @@ def get_ins_map(seg_prob: jnp.ndarray, center_map: jnp.ndarray,
         val_kernel, beta, max_ctr, max_cluster, cc_iters, C,
         max_inst_cap=False)
 
-    assign = assign_pixels(slots["ys"], slots["xs"], slots["valid"],
-                           slots["root"], offset_map, roots)
-    npix, seg_score, vmax, _, _ = _slot_stats(
+    # class-banked assignment: each pixel competes only inside its own
+    # class's (max_ctr+max_cluster)-slot bank — exact (root purity, see
+    # assign_pixels_classbanks) and C x narrower than the full-S lane
+    # reduce, which scales with the wide eval slot axis.
+    if os.environ.get("CL4WSIS_BANKED_ASSIGN", "1") == "0":
+        assign = assign_pixels(slots["ys"], slots["xs"], slots["valid"],
+                               slots["root"], offset_map, roots)
+    else:
+        assign = assign_pixels_classbanks(
+            slots["ys"], slots["xs"], slots["valid"], slots["root"],
+            offset_map, roots, jnp.clip(seg_map - 1, 0),
+            num_classes=C, max_ctr=max_ctr, max_cluster=max_cluster)
+    # sorted-domain stats: the slot axis is wide here (C*(32+8) = 800 at
+    # val vs 121 in training refine) and the (HW, S) lane reduce was ~44%
+    # of the whole eval forward (docs/verification.md round-5 entry). The
+    # lane path stays as the off-switch + test oracle.
+    stats_fn = (_slot_stats
+                if os.environ.get("CL4WSIS_SORTED_SLOT_STATS", "1") == "0"
+                else _slot_stats_sorted)
+    npix, seg_score, vmax, _, _ = stats_fn(
         slots, assign, seg_map, ch_spiked, seg_prob[..., 1:], n_slots)
 
     center_score = vmax[:n_slots]

@@ -209,6 +209,22 @@ def _global_center_slots(eff, roots, center_map, offset_map,
     return slots, ch_spiked, truncated
 
 
+def _px_class_values(eff, ch_spiked, seg_probs_things, first_class):
+    """Per-pixel heatmap/prob value of the pixel's OWN class channel.
+
+    One-hot select, not a gather: arbitrary per-pixel gathers ran at
+    ~3 GB/s on the profile (~90 ms each here); a masked sum over the few
+    class channels is plain fused elementwise work."""
+    HW = eff.size
+    px_cls = jnp.clip(eff.reshape(-1) - 1 - first_class, 0)
+    nc = ch_spiked.shape[-1]
+    onehot = px_cls[:, None] == jnp.arange(nc)[None, :]
+    val = jnp.sum(jnp.where(onehot, ch_spiked.reshape(HW, nc), 0.0), axis=1)
+    prob = jnp.sum(jnp.where(onehot, seg_probs_things.reshape(HW, nc), 0.0),
+                   axis=1)
+    return val, prob
+
+
 def _slot_stats(slots, assign, eff, ch_spiked, seg_probs_things, n_slots,
                 first_class=0):
     """Per-slot (npix, seg_score, center_score, argmax pixel) keyed by the
@@ -224,16 +240,8 @@ def _slot_stats(slots, assign, eff, ch_spiked, seg_probs_things, n_slots,
     H, W = eff.shape
     HW = H * W
     assign_flat = assign.reshape(-1)
-    px_cls = jnp.clip(eff.reshape(-1) - 1 - first_class, 0)
-    # per-pixel heatmap/prob value of the pixel's OWN class channel.
-    # One-hot select, not a gather: arbitrary per-pixel gathers ran at
-    # ~3 GB/s on the profile (~90 ms each here); a masked sum over the few
-    # class channels is plain fused elementwise work.
-    nc = ch_spiked.shape[-1]
-    onehot = px_cls[:, None] == jnp.arange(nc)[None, :]
-    val = jnp.sum(jnp.where(onehot, ch_spiked.reshape(HW, nc), 0.0), axis=1)
-    prob = jnp.sum(jnp.where(onehot, seg_probs_things.reshape(HW, nc), 0.0),
-                   axis=1)
+    val, prob = _px_class_values(eff, ch_spiked, seg_probs_things,
+                                 first_class)
     flat_idx = jnp.arange(HW, dtype=jnp.int32)
 
     slot_ids = jnp.arange(n_slots + 1)
@@ -247,6 +255,47 @@ def _slot_stats(slots, assign, eff, ch_spiked, seg_probs_things, n_slots,
     # argmax pixel (first max, ties by smallest flat index like torch)
     at_max = hot & (val[:, None] >= vmax[None, :] - 1e-12)
     pmax = jnp.min(jnp.where(at_max, flat_idx[:, None], HW * 2), axis=0)
+    py = (pmax // W).astype(jnp.float32)
+    px = (pmax % W).astype(jnp.float32)
+    return npix, seg_score, vmax, py, px
+
+
+def _slot_stats_sorted(slots, assign, eff, ch_spiked, seg_probs_things,
+                       n_slots, first_class=0):
+    """Sorted-domain variant of :func:`_slot_stats` for WIDE slot axes.
+
+    The lane-reduce form streams (HW, n_slots+1) compare lanes — right at
+    training width (S=121, measured neutral vs a fused kernel, round-4
+    "pallas_stats" entry) but ~44% of the whole eval forward at
+    get_ins_map's S=800 (scripts/bench_eval_ins.py, round 5). Here the cost
+    is made slot-width-independent: ONE lexicographic sort by
+    (slot, -val, idx) — so each run's head IS the slot's (vmax, argmax
+    pixel) — plus a cumsum difference for the prob totals and one
+    searchsorted for the run boundaries. No scatters, no (HW, S) planes.
+
+    Matches :func:`_slot_stats` exactly except (a) the argmax-pixel tie
+    tolerance (the lane path takes the smallest flat index within 1e-12 of
+    the max; this takes the exact max's smallest index) and (b) py/px of
+    the trailing "unassigned" bin, which no caller reads (both callers use
+    [:n_slots] or ignore py/px).
+    """
+    H, W = eff.shape
+    HW = H * W
+    val, prob = _px_class_values(eff, ch_spiked, seg_probs_things,
+                                 first_class)
+    flat_idx = jnp.arange(HW, dtype=jnp.int32)
+    skey, nval, sidx, sprob = jax.lax.sort(
+        (assign.reshape(-1).astype(jnp.int32), -val, flat_idx, prob),
+        num_keys=3)
+    bnd = jnp.searchsorted(skey, jnp.arange(n_slots + 2, dtype=jnp.int32),
+                           side="left").astype(jnp.int32)
+    npix = (bnd[1:] - bnd[:-1]).astype(jnp.float32)
+    csum = jnp.concatenate([jnp.zeros((1,), sprob.dtype), jnp.cumsum(sprob)])
+    seg_score = (csum[bnd[1:]] - csum[bnd[:-1]]) / jnp.maximum(npix, 1.0)
+    first = jnp.clip(bnd[:-1], 0, HW - 1)
+    has = npix > 0
+    vmax = jnp.where(has, -nval[first], -jnp.inf).at[-1].set(-jnp.inf)
+    pmax = jnp.where(has, sidx[first], HW * 2)
     py = (pmax // W).astype(jnp.float32)
     px = (pmax % W).astype(jnp.float32)
     return npix, seg_score, vmax, py, px
@@ -289,7 +338,12 @@ def refine_label_slots(seg_probs: jnp.ndarray, center_map: jnp.ndarray,
         nms_kernel, beta, max_ctr, max_cluster, cc_iters, C, first_class)
 
     # ONE root-gated nearest-center assignment for every class's slots as
-    # a fused lane reduce over the S slots (no tables, no gathers)
+    # a fused lane reduce over the S slots (no tables, no gathers). The
+    # class-banked form that wins at eval widths (assign_pixels_classbanks,
+    # S=800) was device-A/B'd HERE at S=121/bs16 and measured 2.5% SLOWER
+    # (132.1 -> 128.8 img/s — the HIGHEST-precision one-hot matmuls sit on
+    # the critical path while the narrow lane reduce already overlaps), so
+    # training keeps the lanes.
     assign = assign_pixels_lanes(slots["ys"], slots["xs"],
                                  slots["valid"], slots["root"],
                                  offset_map, roots)

@@ -24,6 +24,9 @@ VARIANTS = {
     "no_pallas_cc": {"CL4WSIS_PALLAS_CC": "0"},
     "cc8": {"CL4WSIS_BENCH_CC_ITERS": "8"},
     "cc16": {"CL4WSIS_BENCH_CC_ITERS": "16"},
+    # round 5: the class-banked pixel assignment (default on) vs the
+    # full-S lane reduce it replaced
+    "no_banked_assign": {"CL4WSIS_BANKED_ASSIGN": "0"},
 }
 
 

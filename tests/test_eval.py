@@ -198,3 +198,34 @@ def test_validate_instances_end_to_end_perfect():
     # not 1.0: occluded objects whose visible remnant has no center peak are
     # unrecoverable by the algorithm (the reference drops them identically)
     assert res["map50"] > 0.8, res
+
+
+def test_slot_stats_sorted_matches_lanes():
+    """The sorted-domain eval stats (ops/refine._slot_stats_sorted) must
+    match the lane-reduce oracle on npix/seg_score/vmax everywhere and on
+    the argmax pixel for every real slot (the trailing unassigned bin's
+    py/px is unspecified — no caller reads it)."""
+    from cl4wsis_tpu.ops.refine import _slot_stats, _slot_stats_sorted
+
+    rng = np.random.RandomState(7)
+    H = W = 48
+    C, n_slots = 4, 20
+    eff = jnp.asarray(rng.randint(0, C + 1, (H, W)).astype(np.int32))
+    ch = rng.rand(H, W, C).astype(np.float32) * 1.2
+    # exact ties inside one slot: the smaller flat index must win
+    ch[3, 5] = ch[3, 9] = 0.77
+    probs = rng.rand(H, W, C).astype(np.float32)
+    assign = rng.randint(0, n_slots + 1, (H, W)).astype(np.int32)
+    assign[assign == 13] = n_slots  # force an empty slot
+    assign[3, 5] = assign[3, 9] = 2
+    ch = jnp.asarray(ch)
+    for a in [assign, np.full((H, W), n_slots, np.int32)]:
+        args = (None, jnp.asarray(a), eff, ch, jnp.asarray(probs), n_slots)
+        npix0, ss0, vmax0, py0, px0 = map(np.asarray, _slot_stats(*args))
+        npix1, ss1, vmax1, py1, px1 = map(np.asarray,
+                                          _slot_stats_sorted(*args))
+        np.testing.assert_array_equal(npix0, npix1)
+        np.testing.assert_allclose(ss0, ss1, rtol=0, atol=1e-5)
+        np.testing.assert_array_equal(vmax0, vmax1)
+        np.testing.assert_array_equal(py0[:n_slots], py1[:n_slots])
+        np.testing.assert_array_equal(px0[:n_slots], px1[:n_slots])

@@ -87,3 +87,41 @@ def test_cluster_peaks_matches_cv2():
             if 16 < stats[k, cv2.CC_STAT_AREA] < 26]
     got = sorted(zip(ys[valid].tolist(), xs[valid].tolist()))
     assert got == sorted(want)
+
+
+def test_assign_pixels_classbanks_matches_lanes():
+    """The class-banked assignment must equal the full-S lane reduce on
+    slots produced by the REAL slot builder (root purity is the invariant
+    the bank form relies on), across several random scenes."""
+    import jax
+    import jax.numpy as jnp
+    from cl4wsis_tpu.ops.cc import connected_components_multilabel
+    from cl4wsis_tpu.ops.grouping import assign_pixels_classbanks
+    from cl4wsis_tpu.ops.refine import _global_center_slots
+
+    H = W = 56
+    C, mc, mcl = 3, 4, 2
+    for seed in range(3):
+        rng = np.random.RandomState(seed)
+        # blobby multi-class seg map: smooth random field -> argmax
+        f = rng.randn(7, 7, C + 1).astype(np.float32)
+        f = np.asarray(jax.image.resize(jnp.asarray(f), (H, W, C + 1),
+                                        "linear"))
+        seg = np.argmax(f * 3.0 + rng.randn(H, W, C + 1) * 0.1,
+                        axis=-1).astype(np.int32)
+        center = (rng.rand(H, W, C).astype(np.float32) ** 8) * 1.2
+        offsets = (rng.randn(H, W, 2) * 3).astype(np.float32)
+
+        seg_j = jnp.asarray(seg)
+        roots = connected_components_multilabel(seg_j, connectivity=8,
+                                                num_iters=32)
+        slots, _, _ = _global_center_slots(
+            seg_j, roots, jnp.asarray(center), jnp.asarray(offsets),
+            0.1, 5, 3.0, mc, mcl, 32, C, max_inst_cap=False)
+        args = (slots["ys"], slots["xs"], slots["valid"], slots["root"],
+                jnp.asarray(offsets), roots)
+        want = np.asarray(assign_pixels(*args))
+        got = np.asarray(assign_pixels_classbanks(
+            *args, jnp.clip(seg_j - 1, 0), num_classes=C, max_ctr=mc,
+            max_cluster=mcl))
+        np.testing.assert_array_equal(got, want)
