@@ -50,7 +50,7 @@ def requirements(task: str, data_root: str, pretrained_dir: str):
             ("SBD-coco val json", os.path.join(v, "pascal_sbd_val.json"), "both"),
             ("split list (train)", os.path.join(v, "splits", "train_aug.txt"), "reference"),
             ("split list (val)", os.path.join(v, "splits", "val.txt"), "reference"),
-            ("image-level 1-hot (train)", os.path.join(v, "voc_1h_labels_train_aug.npy"), "reference"),
+            ("image-level 1-hot (train)", os.path.join(v, "voc_1h_labels_train.npy"), "reference"),
             ("image-level 1-hot (val)", os.path.join(v, "voc_1h_labels_val.npy"), "reference"),
             ("iABN ResNet-101 ImageNet ckpt",
              os.path.join(pretrained_dir, "resnet101_iabn_sync.pth.tar"), "both"),
@@ -65,7 +65,7 @@ def requirements(task: str, data_root: str, pretrained_dir: str):
             ("SBD-coco val json", os.path.join(v, "pascal_sbd_val.json"), "both"),
             ("as-coco split (train)", os.path.join(v, "splits", "train_aug_ascoco.txt"), "reference"),
             ("as-coco split (val)", os.path.join(v, "splits", "val_ascoco.txt"), "reference"),
-            ("cocovoc 1-hot (train)", os.path.join(v, "cocovoc_1h_labels_train_aug.npy"), "reference"),
+            ("cocovoc 1-hot (train)", os.path.join(v, "cocovoc_1h_labels_train.npy"), "reference"),
             ("step index files", os.path.join(data_root, "coco-voc", "voc"), "both"),
             ("iABN WRN-38 ImageNet ckpt",
              os.path.join(pretrained_dir, "wide_resnet38_ipabn_lr_256.pth.tar"), "both"),

@@ -403,3 +403,60 @@ def test_grain_loader(tmp_path):
     # deterministic: same epoch -> same order
     again = list(loader.epoch(0))
     np.testing.assert_allclose(b["image"], again[0]["image"])
+
+
+def test_shipped_split_assets():
+    """Pin the protocol split assets shipped in data/ (see data/README.md).
+
+    These are the published CL4WSIS experimental-protocol data files
+    (reference `dataset/__init__.py:57-70` consumes `{task-path}/train-
+    {step}.npy`; `dataset/coco.py:38-56` the split lists; `dataset/
+    voc.py:123-125` the 1-hot label arrays). The rebuild's CLI resolves
+    the same layout (`cli/main.py:build_data`)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    d = os.path.join(repo, "data")
+    if not os.path.isdir(d):
+        pytest.skip("data/ assets not present")
+
+    n_coco_train = sum(1 for _ in open(os.path.join(d, "coco/split/train.txt")))
+    n_coco_val = sum(1 for _ in open(os.path.join(d, "coco/split/val.txt")))
+    n_voc_train = sum(1 for _ in open(os.path.join(d, "voc/splits/train_aug.txt")))
+    n_voc_val = sum(1 for _ in open(os.path.join(d, "voc/splits/val.txt")))
+    assert (n_coco_train, n_coco_val) == (118287, 5000)
+    assert (n_voc_train, n_voc_val) == (10582, 1449)
+
+    # step-index files: every val-*/test_on_val-*/train-1 is an identity
+    # split; the single curated file is train-0 (the 23,274 COCO train2017
+    # positions of the COCO-to-VOC base step), identical in both task dirs.
+    identity = {
+        "coco/voc/val-0.npy": n_coco_train,
+        "coco/voc/test_on_val-0.npy": n_coco_train,
+        "coco-voc/voc/val-0.npy": n_coco_train,
+        "coco-voc/voc/test_on_val-0.npy": n_coco_train,
+        "coco-voc/voc/train-1.npy": n_voc_train,
+        "coco-voc/voc/val-1.npy": n_voc_val,
+        "coco-voc/voc/test_on_val-1.npy": n_voc_val,
+    }
+    for rel, n in identity.items():
+        a = np.load(os.path.join(d, rel))
+        assert np.array_equal(a, np.arange(n)), rel
+    t0 = np.load(os.path.join(d, "coco/voc/train-0.npy"))
+    assert t0.shape == (23274,) and len(np.unique(t0)) == len(t0)
+    assert 0 <= t0.min() and t0.max() < n_coco_train
+    np.testing.assert_array_equal(
+        t0, np.load(os.path.join(d, "coco-voc/voc/train-0.npy")))
+
+    # image-level 1-hot labels (reference-side requirement; the rebuild
+    # derives these from the SBD json at runtime)
+    for rel, shape in [("voc/voc_1h_labels_train.npy", (n_voc_train, 20)),
+                       ("voc/voc_1h_labels_val.npy", (n_voc_val, 20)),
+                       ("voc/cocovoc_1h_labels_val.npy", (n_voc_val, 91))]:
+        a = np.load(os.path.join(d, rel))
+        assert a.shape == shape, rel
+        assert set(np.unique(a)) <= {0.0, 1.0}, rel
+
+    # the CLI's index-path construction resolves to the shipped files
+    from cl4wsis_tpu.cl.tasks import get_task_labels
+    for ds in ("coco", "coco-voc"):
+        path_base = get_task_labels(ds, "voc", 0)[2]
+        assert os.path.exists(os.path.join(d, path_base, "train-0.npy"))
