@@ -159,8 +159,11 @@ def main(argv: Optional[list] = None) -> int:
 
             mv = _local_vars(trainer.model_variables())
 
+            # variables are jit ARGUMENTS, not closure constants: the
+            # program caches across validations instead of retracing with
+            # each epoch's weights baked in (CLAUDE.md working rule).
             @jax.jit
-            def classify_seg(image):
+            def classify_seg(mv, image):
                 pred, _ = trainer.model.apply(
                     mv, image, train=False, interpolate=False,
                     method=trainer.model.forward_seg)
@@ -168,7 +171,7 @@ def main(argv: Optional[list] = None) -> int:
                                       align_corners=False)
                 return jax.nn.softmax(seg.astype(jnp.float32), axis=-1)
 
-            res = validate_semseg(classify_seg,
+            res = validate_semseg(lambda image: classify_seg(mv, image),
                                   eval_samples(val, jax.process_index(),
                                                jax.process_count()),
                                   trainer.tot_classes)
@@ -187,8 +190,9 @@ def main(argv: Optional[list] = None) -> int:
             mv = _local_vars(trainer.model_variables())
             plv = _local_vars(trainer.pseudolabeler_variables())
 
+            # variables as jit arguments (not baked constants) — see above.
             @jax.jit
-            def classify(image):
+            def classify(mv, plv, image):
                 feats = trainer.model.apply(
                     mv, image, train=False,
                     method=trainer.model.forward_features)
@@ -196,7 +200,7 @@ def main(argv: Optional[list] = None) -> int:
                 cam = resize_bilinear(cam, image.shape[1:3], align_corners=False)
                 return jax.nn.softmax(cam.astype(jnp.float32), axis=-1)
 
-            res = validate_semseg(classify,
+            res = validate_semseg(lambda image: classify(mv, plv, image),
                                   eval_samples(val, jax.process_index(),
                                                jax.process_count()),
                                   trainer.tot_classes,
@@ -229,8 +233,11 @@ def main(argv: Optional[list] = None) -> int:
                     ins = np.asarray(out["ins_map"])
                     img = np.clip(denorm(s["image"][0]), 0, 1)
                     # instance ids through the reference's 73-color table
-                    # (train.py:32 label_to_color_image), background black
-                    ins_rgb = (label_to_color_image(ins + 1) * 255
+                    # (train.py:32 label_to_color_image), background black.
+                    # Wrap ids onto rows 1..72 BEFORE the shift: a plain
+                    # (ins+1) % 73 sends ids ≡ 72 (mod 73) to row 0 = black,
+                    # hiding them against the background fill.
+                    ins_rgb = (label_to_color_image(ins % 72 + 1) * 255
                                * (ins >= 0)[..., None])
                     vis = np.concatenate(
                         [(img * 255).astype(np.uint8), ins_rgb], axis=1)

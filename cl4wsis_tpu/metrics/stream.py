@@ -100,6 +100,6 @@ class StreamSegMetrics:
     def to_str(self, results: Dict) -> str:
         lines = ["Results:"]
         for k, v in results.items():
-            if k not in ("Class IoU", "Class Acc"):
+            if k not in ("Class IoU", "Class Acc", "Class Prec", "Agg"):
                 lines.append(f"  {k}: {v}")
         return "\n".join(lines)

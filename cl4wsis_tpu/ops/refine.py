@@ -260,6 +260,27 @@ def _slot_stats(slots, assign, eff, ch_spiked, seg_probs_things, n_slots,
     return npix, seg_score, vmax, py, px
 
 
+def _compensated_cumsum(x):
+    """Inclusive prefix sum of f32 ``x`` carried as double-single
+    (hi, lo) pairs (Knuth TwoSum + renormalisation per combine), so a
+    downstream difference of two prefixes resolves to ~ulp(difference)
+    instead of ~ulp(global prefix). The combine is only approximately
+    associative; any combination order ``associative_scan`` picks keeps
+    ~2^-48 relative error, which is all we need."""
+
+    def comb(c1, c2):
+        h1, l1 = c1
+        h2, l2 = c2
+        s = h1 + h2
+        zz = s - h1
+        e = (h1 - (s - zz)) + (h2 - zz)  # TwoSum error term
+        lo = l1 + l2 + e
+        t = s + lo                        # renormalise
+        return t, lo - (t - s)
+
+    return jax.lax.associative_scan(comb, (x, jnp.zeros_like(x)))
+
+
 def _slot_stats_sorted(slots, assign, eff, ch_spiked, seg_probs_things,
                        n_slots, first_class=0):
     """Sorted-domain variant of :func:`_slot_stats` for WIDE slot axes.
@@ -290,8 +311,19 @@ def _slot_stats_sorted(slots, assign, eff, ch_spiked, seg_probs_things,
     bnd = jnp.searchsorted(skey, jnp.arange(n_slots + 2, dtype=jnp.int32),
                            side="left").astype(jnp.int32)
     npix = (bnd[1:] - bnd[:-1]).astype(jnp.float32)
-    csum = jnp.concatenate([jnp.zeros((1,), sprob.dtype), jnp.cumsum(sprob)])
-    seg_score = (csum[bnd[1:]] - csum[bnd[:-1]]) / jnp.maximum(npix, 1.0)
+    # Per-slot prob totals as prefix-sum differences. A plain f32 cumsum
+    # reaches ~HW/2 magnitude (1e5 at the 512 val bucket), capping the
+    # difference's resolution at ulp(prefix) ~ 1e-2 — enough to reorder
+    # near-tied small instances vs the lane oracle's bin-local sums. Carry
+    # the prefix in double-single (hi, lo) pairs instead: the scan costs a
+    # few extra VPU adds on a 1 MB array (noise next to the sort) and the
+    # difference recovers ~ulp(result) resolution.
+    chi, clo = _compensated_cumsum(sprob)
+    z = jnp.zeros((1,), sprob.dtype)
+    chi = jnp.concatenate([z, chi])
+    clo = jnp.concatenate([z, clo])
+    psum = ((chi[bnd[1:]] - chi[bnd[:-1]]) + (clo[bnd[1:]] - clo[bnd[:-1]]))
+    seg_score = psum / jnp.maximum(npix, 1.0)
     first = jnp.clip(bnd[:-1], 0, HW - 1)
     has = npix > 0
     vmax = jnp.where(has, -nval[first], -jnp.inf).at[-1].set(-jnp.inf)

@@ -73,13 +73,16 @@ def requirements(task: str, data_root: str, pretrained_dir: str):
     return rows
 
 
-def check(task, data_root, pretrained_dir) -> bool:
+def check(task, data_root, pretrained_dir, run: str = "check") -> bool:
+    """Reference-only rows are optional ONLY when the reference stack will
+    not run (--run check|rebuild); with --run reference|both they gate."""
     rows = requirements(task, data_root, pretrained_dir)
     ok = True
     print(f"readiness check — task {task}, data_root {data_root}")
     for label, path, who in rows:
         present = os.path.exists(path)
-        ok &= present or who == "reference"
+        optional = who == "reference" and run in ("check", "rebuild")
+        ok &= present or optional
         print(f"  [{'OK' if present else 'MISSING'}] {label:34s} {path} ({who})")
     return ok
 
@@ -97,7 +100,11 @@ def _recipe(task: str):
 
 def rebuild_cmds(a):
     r = _recipe(a.task)
-    ov = ["--overlap", "true"] if r["overlap"] else []
+    # always pass the flag explicitly: Config.overlap defaults to True, so
+    # omitting it for coco-voc (overlap=False) would both train on the
+    # wrong (overlapped) split and save checkpoints under the -ov path,
+    # breaking the --step_ckpt/--seg_ckpt handoff below.
+    ov = ["--overlap", "true" if r["overlap"] else "false"]
     base = [sys.executable, "-m", "cl4wsis_tpu.cli.main",
             "--dataset", r["dataset"], "--task", r["task"],
             "--batch_size", "16", "--val_interval", str(r["val_interval"]),
@@ -183,26 +190,48 @@ def _run_ref_stage(stage_args: str, workdir: str):
         ref_run.main(opts)
 
 
-_MAP_RE = re.compile(r"'map': (?:np\.float64\()?([0-9.eE+-]+)\)?")
-_MAP50_RE = re.compile(r"'ap@0?\.5'?: (?:np\.float64\()?([0-9.eE+-]+)\)?")
+# Both stacks' stdout formats. Reference: python-dict repr of the VOC
+# evaluator results ('map': .., 'ap@0.5': ..). Rebuild: cli/main.py's
+# logger.info line (mAP@[.5:.95]=.. mAP@.5=..) plus the JSONL echo
+# ("map": .., "map50": ..) when the log file is inspected directly.
+_MAP_RES = [re.compile(r"'map': (?:np\.float64\()?([0-9.eE+-]+)\)?"),
+            re.compile(r"mAP@\[\.5:\.95\]=([0-9.eE+-]+)"),
+            re.compile(r'"map": ([0-9.eE+-]+)')]
+_MAP50_RES = [re.compile(r"'ap@0?\.5'?: (?:np\.float64\()?([0-9.eE+-]+)\)?"),
+              re.compile(r"mAP@\.5=([0-9.eE+-]+)"),
+              re.compile(r'"map50": ([0-9.eE+-]+)')]
+
+
+def _last_match(patterns, log):
+    """Value of the LAST occurrence (by position) across all formats."""
+    hits = [(m.start(), float(m.group(1)))
+            for p in patterns for m in p.finditer(log)]
+    return max(hits)[1] if hits else None
 
 
 def run_stages(cmds, log_prefix, timeout):
     results = []
     for i, cmd in enumerate(cmds):
         t0 = time.time()
-        p = subprocess.run(cmd, capture_output=True, text=True,
-                           timeout=timeout)
-        log = p.stdout + p.stderr
+        try:
+            p = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=timeout)
+            rc, log = p.returncode, p.stdout + p.stderr
+        except subprocess.TimeoutExpired as e:
+            # record the partial log + a sentinel rc instead of crashing the
+            # whole run (and losing every completed stage's results).
+            rc = -1
+            _txt = lambda x: (x.decode(errors="replace")
+                              if isinstance(x, bytes) else (x or ""))
+            log = (_txt(e.stdout) + _txt(e.stderr) +
+                   f"\n[run_realdata_parity] stage timed out after {timeout}s")
         with open(f"{log_prefix}_stage{i}.log", "w") as f:
             f.write(log)
-        maps = [float(m) for m in _MAP_RE.findall(log)]
-        map50 = [float(m) for m in _MAP50_RE.findall(log)]
-        results.append({"stage": i, "rc": p.returncode,
+        results.append({"stage": i, "rc": rc,
                         "wall_s": round(time.time() - t0, 1),
-                        "map": maps[-1] if maps else None,
-                        "map50": map50[-1] if map50 else None})
-        if p.returncode:
+                        "map": _last_match(_MAP_RES, log),
+                        "map50": _last_match(_MAP50_RES, log)})
+        if rc:
             results[-1]["tail"] = log[-1500:]
             break
     return results
@@ -248,7 +277,7 @@ def main(argv=None):
         return _run_ref_stage(a._ref_stage, a.workdir)
 
     os.makedirs(a.workdir, exist_ok=True)
-    ready = check(a.task, a.data_root, a.pretrained_dir)
+    ready = check(a.task, a.data_root, a.pretrained_dir, run=a.run)
     print()
     print("rebuild stage commands:")
     for c in rebuild_cmds(a):

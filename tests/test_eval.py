@@ -229,3 +229,29 @@ def test_slot_stats_sorted_matches_lanes():
         np.testing.assert_array_equal(vmax0, vmax1)
         np.testing.assert_array_equal(py0[:n_slots], py1[:n_slots])
         np.testing.assert_array_equal(px0[:n_slots], px1[:n_slots])
+
+
+def test_compensated_cumsum_full_eval_scale():
+    """The sorted-domain stats derive per-slot prob totals from prefix-sum
+    differences; at the 512 val bucket the prefix reaches ~1e5 where plain
+    f32 cumsum resolution (~ulp(prefix) ~ 1e-2) can reorder near-tied small
+    instances. The double-single scan must recover bin sums to ~1e-5 of the
+    f64 oracle where the plain cumsum provably cannot."""
+    import jax
+
+    from cl4wsis_tpu.ops.refine import _compensated_cumsum
+
+    rng = np.random.RandomState(11)
+    x = rng.uniform(0.1, 1.0, 512 * 512).astype(np.float32)
+    hi, lo = map(lambda a: np.asarray(a, np.float64),
+                 jax.jit(_compensated_cumsum)(jnp.asarray(x)))
+    ref = np.cumsum(x.astype(np.float64))
+    # a small bin late in the domain — the documented failure mode
+    s, e = 250000, 250037
+    ref_bin = ref[e] - ref[s]
+    plain = np.cumsum(x)
+    assert abs((plain[e] - plain[s]) - ref_bin) > 1e-3  # plain f32 fails
+    comp_bin = (hi[e] - hi[s]) + (lo[e] - lo[s])
+    np.testing.assert_allclose(comp_bin, ref_bin, rtol=0, atol=1e-5)
+    # and the prefixes themselves are f64-faithful
+    np.testing.assert_allclose(hi + lo, ref, rtol=0, atol=1e-4)
